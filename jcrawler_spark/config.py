@@ -1,0 +1,69 @@
+"""Crawl configuration.
+
+Mirrors the observable defaults of the reference CLI bean
+(/root/reference/src/main/java/org/raisercostin/jcrawler/JCrawler.java:594-649):
+maxDocs=10_000, maxConnections=3, depth=100, cacheExpiryDuration=100 days,
+acceptHostname template "{http|https}://{www.|}%s", traversal default
+PARALLEL_BREADTH_FIRST (JCrawler.java:596).
+
+Additions beyond the reference (north-rule requirements): per-host politeness
+budget/delay enforcement and robots.txt enforcement — both default OFF so the
+engine is reference-equivalent unless explicitly enabled
+(reference parses robots directives as crawlable links but does not enforce
+them, README.md:208; its politeness is only a global connection token pool,
+JCrawler.java:868,892-897).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+
+class TraversalType(Enum):
+    """JCrawler.java:560-588. PARALLEL_BREADTH_FIRST order is explicitly
+    undefined in the reference (README.md:191); our engine makes it
+    deterministic by sorting each wave — strictly stronger contract."""
+
+    PARALLEL_BREADTH_FIRST = "parallel_breadth_first"
+    BREADTH_FIRST = "breadth_first"
+    DEPTH_FIRST_PREORDER = "depth_first_preorder"
+
+
+@dataclass
+class CrawlConfig:
+    # seed URL patterns; expanded through Generators (JCrawler.java:710)
+    urls: list[str] = field(default_factory=list)
+    # extra accept prefixes (JCrawler.java:634-636); bare hosts are expanded
+    # through accept_hostname like the reference does (JCrawler.java:880-886)
+    accept: list[str] = field(default_factory=list)
+    accept_hostname: str = "{http|https}://{www.|}%s"
+
+    max_docs: int = 10_000           # JCrawler.java:605-606
+    max_connections: int = 3         # JCrawler.java:607-608 (global budget)
+    depth: int = 100                 # JCrawler.java:630-632
+    cache_expiry_seconds: int = 100 * 24 * 3600  # JCrawler.java:611-613
+    failing_host_backoff_seconds: int = 600      # JCrawler.java:870-872
+    traversal: TraversalType = TraversalType.PARALLEL_BREADTH_FIRST
+    recompute_links: bool = False    # JCrawler.java:598 (--recomputeLinks)
+
+    # ---- scale / scheduler knobs (ours; north rule) ----
+    # per-wave global fetch budget; None = unlimited wave (reference BFS has
+    # no wave budget — its token pool only caps concurrency, not totals)
+    wave_budget: int | None = None
+    # per-host fetches allowed in one wave (politeness). None = unlimited.
+    per_host_budget: int | None = None
+    # enforce robots.txt Disallow rules discovered on each host. Default off
+    # for reference-equivalence (reference does not enforce; README.md:208).
+    enforce_robots: bool = False
+    # enforce per-host crawl delay via host_state.crawl_delay_ms
+    enforce_crawl_delay: bool = False
+    # hosts holding more than this fraction of a wave get salted into
+    # sub-partitions before the fetch repartition (mega-host skew defusal)
+    skew_salt_threshold: float = 0.05
+    skew_salt_buckets: int = 16
+    # Bloom seen-prefilter (exact anti-join still applied afterwards)
+    bloom_enabled: bool = True
+    bloom_shards: int = 8
+    bloom_bits_per_shard: int = 1 << 20
+    bloom_hashes: int = 5

@@ -1,0 +1,168 @@
+"""Scalar-function goldens transcribed from the reference tests
+(FIXTURES.md §5): exact sha-256 values, slug paths, sanitize behavior."""
+
+from jcrawler_spark.functions import urlops
+
+EUROPA = "https://op.europa.eu/documents/d/who-is-who/pdf_archive_eu_whoiswho_202407-en"
+WGET = "https://en.m.wikipedia.org/wiki/Wget?param=value"
+
+
+def test_url_hash_europa():
+    # JCrawlerTest.java:166
+    assert (
+        urlops.url_hash(EUROPA)
+        == "9cf4918b061e887f92b45255c8fb5e976eb3a24de28686afe653557a900647ef"
+    )
+
+
+def test_url_hash_wget_lowercased():
+    # JCrawlerTest.java:188-189: hash is over the sanitized (lowercased) URL
+    assert (
+        urlops.url_hash(WGET)
+        == "be4b221727d1658df7ae717d21e6507827a5366ab293c234510ae898978795af"
+    )
+
+
+def test_sanitize_lowercases_and_keeps_query():
+    # JCrawlerTest.java:188
+    assert urlops.sanitize(WGET) == "https://en.m.wikipedia.org/wiki/wget?param=value"
+    assert urlops.sanitize(EUROPA) == EUROPA
+
+
+def test_sanitize_does_not_trim():
+    # SlugTest.java:18-26
+    assert urlops.sanitize(" http://example.com ") == " http://example.com "
+
+
+def test_sanitize_strips_fragment():
+    assert (
+        urlops.sanitize("https://ex.com/a#frag?x")
+        == "https://ex.com/a"
+    )
+
+
+def test_path_query_to_at():
+    # JCrawlerTest.java:190
+    assert urlops.slug_path(WGET) == "en.m.wikipedia.org/wiki/wget@param=value"
+    # JCrawlerTest.java:167
+    assert (
+        urlops.slug_path(EUROPA)
+        == "op.europa.eu/documents/d/who-is-who/pdf_archive_eu_whoiswho_202407-en"
+    )
+
+
+def test_path_trailing_slash_index_html():
+    # Slug.java:216-218
+    assert urlops.slug_path("https://ex.com/dir/") == "ex.com/dir//index.html"
+
+
+def test_path_data_uri_colon_replacement():
+    # SlugTest.java:9-16: ':' -> U+F03A
+    dat = "data:image/png;base64,iVBORw0KGgoAAAANSUhEUgAAAUoAAAAaCAYAAADR0BVG"
+    path = urlops.slug_path(dat, strip_query=True)
+    assert "" in path
+    assert path.startswith("dataimage/png;base64,")
+
+
+def test_content_path_initial_posf():
+    # SlugEscapeTest.java:9-21 — goldens expect NO hash suffix
+    url = (
+        "https://posf.ro/comparator/api/index.php?request=comparator-electric"
+        "&tip_oferta=2&data_start_aplicare=02-06-2024&tip_client=casnic"
+        "&tip_pret=nediferentiat&consum_anual=1200&consum_lunar=100"
+        "&valoare_factura_curenta=&nivel_tensiune=JT_&tip_produs=0"
+        "&perioada_contract=&energie_regenerabila=&factura_electronica="
+        "&frecventa_emitere_factura=&procent_zona_noapte=&procent_zona_zi="
+        "&frecventa_citire_contor=&valoare_fixa=&denumire_furnizor=&id_zona=8"
+    )
+    assert urlops.content_path_initial(url) == "posf.ro/comparator/api/index.php.tmp2"
+
+
+def test_content_path_initial_double_encoded():
+    # SlugEscapeTest.java:24-33
+    url = (
+        "https://www.cultural-mobility.com/wp-json/oembed/1.0/embed"
+        "?url=https%253A%252F%252Fwww.cultural-mobility.com%252F"
+    )
+    assert (
+        urlops.content_path_initial(url)
+        == "www.cultural-mobility.com/wp-json/oembed/1.0/embed.tmp2"
+    )
+
+
+def test_content_path_initial_percent20():
+    # SlugEscapeTest.java:36-44 (testCollisions)
+    assert (
+        urlops.content_path_initial(
+            "https://raisercostin.org/2017/02/08/define%20risk%20takers"
+        )
+        == "raisercostin.org/2017/02/08/define risk takers.tmp2"
+    )
+    assert (
+        urlops.content_path_initial(
+            "https://raisercostin.org/2017/02/08/define%20safety%20nets"
+        )
+        == "raisercostin.org/2017/02/08/define safety nets.tmp2"
+    )
+
+
+def test_content_path_final():
+    # Slug.java:88-110: extension inferred from path, .E{status} when != 200
+    assert urlops.content_path_final("https://ex.com/a/b.html", 200) == "ex.com/a/b.html"
+    assert urlops.content_path_final("https://ex.com/a/b.html", 404) == "ex.com/a/b.E404.html"
+    assert (
+        urlops.content_path_final("https://ex.com/a/page", 200, "text/html")
+        == "ex.com/a/page.html"
+    )
+    assert urlops.content_path_final("https://ex.com/a/page", 301) == "ex.com/a/page.E301"
+
+
+def test_hostname_for_accept_wwww_quirk():
+    # HyperLink.java:85-88 strips 'wwww.' (four w's) — quirk preserved
+    assert urlops.hostname_for_accept("https://wwww.ex.com/a") == "ex.com"
+    assert urlops.hostname_for_accept("https://www.ex.com/a") == "www.ex.com"
+
+
+def test_is_resource_ext():
+    # JCrawler.java:443-449
+    for ext in ("pdf", "zip", "mp3", "avi", "jpg", "png", "css", "js"):
+        assert urlops.is_resource_ext(f"https://e.com/f.{ext}")
+        assert urlops.is_resource_ext(f"https://e.com/F.{ext.upper()}")
+    assert not urlops.is_resource_ext("https://e.com/f.html")
+    assert not urlops.is_resource_ext("https://e.com/f.jpg?x=1")
+
+
+def test_unsupported_protocols():
+    # JCrawler.java:964-965
+    for p in ("tel:+1", "MAILTO:a@b.c", "javascript:void(0)", "data:x",
+              "blob:x", "file:///x", "ftp://x", "ssh://x", "git://x"):
+        assert urlops.has_unsupported_protocol(p)
+    assert not urlops.has_unsupported_protocol("https://ex.com")
+
+
+def test_url_decode_java_semantics():
+    assert urlops.url_decode("a%20b") == "a b"
+    assert urlops.url_decode("a+b") == "a b"  # URLDecoder treats + as space
+    assert urlops.url_decode("a%2Gb") == "a%2Gb"  # malformed: keep original
+    assert urlops.url_decode("%7Bi%7D") == "{i}"
+
+
+def test_resolve_url():
+    # parity cases pinned by JCrawlerTest.java:264-336 goldens
+    base = "https://www.cultural-mobility.com/"
+    assert (
+        urlops.resolve_url(base, "/wp-content/a.jpg")
+        == "https://www.cultural-mobility.com/wp-content/a.jpg"
+    )
+    assert (
+        urlops.resolve_url(base, ",/x/a.jpg")
+        == "https://www.cultural-mobility.com/,/x/a.jpg"
+    )
+    assert urlops.resolve_url(base, "tel:+1234") == "tel:+1234"
+    assert urlops.resolve_url(base, "//cdn.ex.com/a.js") == "https://cdn.ex.com/a.js"
+    assert urlops.resolve_url("", "x.html") == "x.html"
+    assert urlops.resolve_url(None, "x.html") == "x.html"
+    assert (
+        urlops.resolve_url("https://e.com/a/b.html", "c.html")
+        == "https://e.com/a/c.html"
+    )
