@@ -1,0 +1,166 @@
+"""Accept-filter pipeline — F1-F8 of SURVEY.md §2.2.
+
+Re-expresses the reference's `accept()` gate
+(/root/reference/src/main/java/org/raisercostin/jcrawler/JCrawler.java:908-971)
+and accept-set construction (JCrawler.java:876-889) in two forms:
+
+* pure-Python (`accept_link`, for the BFS oracle and unit tests mirroring
+  ExternalDomainTest.java / PageResourcesTest.java), and
+* Spark Column expressions (`accept_col`, `with_accept`) that stay fully
+  JVM-side in whole-stage codegen — the accept set is a small broadcastable
+  list expanded driver-side through Generators, turned into an OR-chain of
+  `startswith` predicates (F5), so Catalyst can pipeline it with the rest of
+  the wave filter with zero shuffles.
+
+Gate order (exact reference semantics):
+  1. F1 unsupported protocol → reject, NO side output (JCrawler.java:910-914)
+  2. F2 depth > limit        → reject (side output suppressed: depth>limit
+     branch skips the ignored-domains add, JCrawler.java:917)
+  3. F3 isResource           → accept (page-requisites, wget-style)
+  4. F4 isRedirect           → accept (implicit ownership through 3xx)
+  5. F5 ∃ prefix ∈ acceptSet: url.startswith(prefix) → accept
+  6. reject + F6 side-output host into ignoredExternalDomains
+     (JCrawler.java:916-931)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from jcrawler_spark.functions import generators, urlops
+
+
+def build_accept_set(
+    seed_urls: list[str],
+    extra_accept: list[str] | None = None,
+    accept_hostname: str = "{http|https}://{www.|}%s",
+) -> list[str]:
+    """Accept-prefix set (JCrawler.java:876-889): each seed's
+    hostnameForAccept through the template, plus explicit accepts (kept
+    verbatim when they start with 'http' or contain '{', else templated),
+    all expanded through Generators. Returns sorted distinct prefixes."""
+    patterns: list[str] = []
+    for u in seed_urls:
+        host = urlops.hostname_for_accept(u)
+        if host:
+            patterns.append(accept_hostname.replace("%s", host))
+    for acc in extra_accept or []:
+        if acc.startswith("http") or "{" in acc:
+            patterns.append(acc)
+        else:
+            patterns.append(accept_hostname.replace("%s", acc))
+    out: set[str] = set()
+    for p in patterns:
+        out.update(generators.generate(p))
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# pure-Python form (oracle / unit tests)
+# ---------------------------------------------------------------------------
+
+
+def accept_link(
+    url: str,
+    depth: int,
+    is_resource: bool,
+    is_redirect: bool,
+    accept_set: list[str],
+    max_depth: int = 100,
+) -> tuple[bool, str | None]:
+    """Returns (accepted, ignored_domain_or_None) — the second element is the
+    F6 side-output host when the link is rejected with depth-ok + supported
+    protocol (JCrawler.java:916-931)."""
+    low = url.lower()
+    if low.startswith(urlops.UNSUPPORTED_PROTOCOLS):
+        return False, None
+    accepted = (
+        depth <= max_depth
+        and (is_resource or is_redirect or any(url.startswith(p) for p in accept_set))
+    )
+    if accepted:
+        return True, None
+    ignored = None
+    if depth <= max_depth:
+        host = urlops.hostname(url)
+        if host:
+            ignored = host
+    return False, ignored
+
+
+# ---------------------------------------------------------------------------
+# Spark Column form (JVM-side; no UDF)
+# ---------------------------------------------------------------------------
+
+
+def _prefix_match(url: Column, accept_set: list[str]) -> Column:
+    if not accept_set:
+        return F.lit(False)
+    cond = url.startswith(accept_set[0])
+    for p in accept_set[1:]:
+        cond = cond | url.startswith(p)
+    return cond
+
+
+def accept_col(
+    url: Column,
+    depth: Column,
+    is_resource: Column,
+    is_redirect: Column,
+    accept_set: list[str],
+    max_depth: int = 100,
+) -> Column:
+    """Boolean accept predicate, pure Column expression."""
+    return (
+        ~urlops.unsupported_protocol_col(url)
+        & (depth <= F.lit(max_depth))
+        & (is_resource | is_redirect | _prefix_match(url, accept_set))
+    )
+
+
+def ignored_domain_col(
+    url: Column,
+    depth: Column,
+    accepted: Column,
+    max_depth: int = 100,
+) -> Column:
+    """F6 side-output host column: non-null only on qualifying rejections."""
+    return F.when(
+        ~accepted
+        & (depth <= F.lit(max_depth))
+        & ~urlops.unsupported_protocol_col(url),
+        urlops.host_col(url),
+    )
+
+
+def with_accept(
+    links: DataFrame,
+    accept_set: list[str],
+    max_depth: int = 100,
+    url: str = "url",
+    depth: str = "depth",
+    is_resource: str = "is_resource",
+    is_redirect: str = "is_redirect",
+) -> DataFrame:
+    """Adds `accepted` + `ignored_domain` columns to a links DataFrame."""
+    acc = accept_col(
+        F.col(url), F.col(depth), F.col(is_resource), F.col(is_redirect),
+        accept_set, max_depth,
+    )
+    out = links.withColumn("accepted", acc)
+    return out.withColumn(
+        "ignored_domain",
+        ignored_domain_col(F.col(url), F.col(depth), F.col("accepted"), max_depth),
+    )
+
+
+def ignored_domains(links_with_accept: DataFrame) -> DataFrame:
+    """A3: sorted distinct rejected external hosts (JCrawler.java:672-684) —
+    one row per host, sorted, so the result is oracle-comparable."""
+    return (
+        links_with_accept.where(F.col("ignored_domain").isNotNull())
+        .select(F.col("ignored_domain").alias("host"))
+        .distinct()
+        .orderBy("host")
+    )
