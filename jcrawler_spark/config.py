@@ -44,6 +44,10 @@ class CrawlConfig:
     depth: int = 100                 # JCrawler.java:630-632
     cache_expiry_seconds: int = 100 * 24 * 3600  # JCrawler.java:611-613
     failing_host_backoff_seconds: int = 600      # JCrawler.java:870-872
+    # logical clock: 1 superstep advances this many seconds — makes the
+    # failing-host backoff and crawl-delay deterministic and testable
+    # (the reference uses wall time; ours is reproducible by design)
+    seconds_per_superstep: int = 1
     traversal: TraversalType = TraversalType.PARALLEL_BREADTH_FIRST
     recompute_links: bool = False    # JCrawler.java:598 (--recomputeLinks)
 

@@ -49,7 +49,7 @@ _FRAGMENTS = [
     "<link rel='icon' href='/static/favicon{v}.png'>",
     # f_robots block — directives parsed as links (JCrawler.java:362-365)
     "<pre>Sitemap: https://host{h}.example/sitemap{v}.xml\n"
-    "Disallow: /private{v}/</pre>",
+    "Disallow: /private{v}/\n</pre>",
     # f_xml — sitemap loc + xml-stylesheet (JCrawler.java:390-398)
     "<loc>https://host{h}.example/from-sitemap/{v}</loc>",
     # f_skips — template var, overlong, tel/mailto (extracted then filtered)

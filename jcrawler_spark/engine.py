@@ -1,0 +1,624 @@
+"""The batch-iterative superstep crawl engine (SURVEY.md §2.4/§3.1).
+
+Re-expresses the reference's graph-traversal scheduler
+(/root/reference/src/main/java/org/raisercostin/jcrawler/ParallelGraphTraverser.java:46-135
+and JCrawler.downloadAndExtractLinks, JCrawler.java:995-1256) as a driver
+superstep loop over DataFrames with snapshot-committed state:
+
+    wave  = politeness-gated, budget-capped prefix of pending (by order_key)
+    seen += wave                       (visited gate, ParallelGraphTraverser.java:85)
+    fetched = fetch(wave)              (synthetic join in-sandbox; HTTP in prod)
+    links = explode(extract_links_udf) (JCrawler.java:420-559)
+          → self-filter → per-page first-wins dedup → accept filter
+            (exact reference order, JCrawler.java:1233-1244)
+    new   = links ⟕anti seen (Bloom-prefiltered) ⟕anti pending, ranked
+    commit(pages Δ, emitted Δ, seen Δ, pending snapshot, host_state, bloom, lineage)
+
+Determinism contract: the reference's default parallel mode has undefined
+order (README.md:191); BFS is FIFO (JCrawler.java:568-574). This engine is
+deterministic in every mode: emission order is `order_key` (discovery FIFO →
+matches the reference BFS golden order), and DFS preorder is reproduced
+exactly by ordering pending on a fixed-width lexicographic `path_key` with
+wave size 1 (the smallest unvisited path key IS the next preorder node).
+
+Scale design (north rule):
+  * per-host politeness is a two-phase salted top-k — phase 1 row_number over
+    (host, salt16) caps a mega-host partition at budget×salt rows, phase 2
+    exact row_number over host — so no single task ever sees a mega-host's
+    whole frontier (skew defusal beyond AQE).
+  * the seen gate is Bloom-prefilter + exact anti-join on url_hash; the Bloom
+    kills the common already-seen rows before the shuffle.
+  * time is a logical clock (1 superstep = config.seconds_per_superstep) so
+    the failing-host backoff (10 min, JCrawler.java:870-872) and crawl-delay
+    are deterministic and testable.
+  * every superstep commit is an atomic snapshot (plans/tableio.py); a crawl
+    resumes bit-identically from any committed superstep.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jcrawler_spark import schemas
+from jcrawler_spark.config import CrawlConfig, TraversalType
+from jcrawler_spark.functions import generators, urlops
+from jcrawler_spark.operators import accept as accept_ops
+from jcrawler_spark.operators import bloom as bloom_ops
+from jcrawler_spark.operators import extract
+from jcrawler_spark.plans.tableio import SnapshotStore
+
+# frontier/pending schema used internally (superset of schemas.FRONTIER)
+_PENDING = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("url_hash", T.StringType(), False),
+        T.StructField("host", T.StringType(), True),
+        T.StructField("depth", T.IntegerType(), False),
+        T.StructField("priority", T.DoubleType(), False),
+        T.StructField("is_resource", T.BooleanType(), False),
+        T.StructField("is_redirect", T.BooleanType(), False),
+        T.StructField("src_url", T.StringType(), True),
+        T.StructField("superstep", T.IntegerType(), False),
+        T.StructField("order_key", T.LongType(), False),
+        T.StructField("path_key", T.StringType(), False),
+    ]
+)
+
+
+class SyntheticFetcher:
+    """S8 in the sandbox: the 'scan of the web' is a join of the wave
+    against the synthetic pages corpus on url (SURVEY.md §2.1 S8). Hosts in
+    `failing_hosts` raise on fetch — modelled as an error row (the reference
+    marks the host failing and records error metadata,
+    JCrawler.java:1126-1131). URLs absent from the corpus are HTTP 404s
+    (valid responses, not errors)."""
+
+    def __init__(self, pages: DataFrame, failing_hosts: list[str] | None = None):
+        cols = ["url", "html", "status", "location", "content_type", "text"]
+        self.pages = pages.select(*cols)
+        self.failing_hosts = set(failing_hosts or [])
+
+    def fetch(self, wave: DataFrame) -> DataFrame:
+        """wave columns + (html, status, location, content_type, error)."""
+        pages = self.pages.withColumnsRenamed({"url": "p_url"})
+        joined = wave.join(pages, wave["url"] == pages["p_url"], "left")
+        failing = F.lit(False)
+        for h in self.failing_hosts:
+            failing = failing | (F.col("host") == F.lit(h))
+        return (
+            joined.withColumn("fetch_failed", failing)
+            .withColumn(
+                "error",
+                F.when(F.col("fetch_failed"), F.lit("connect error: synthetic failing host")),
+            )
+            .withColumn(
+                "status",
+                F.when(F.col("fetch_failed"), F.lit(None).cast("int")).otherwise(
+                    F.coalesce(F.col("status"), F.lit(404))
+                ),
+            )
+            .withColumn(
+                "html",
+                F.when(F.col("fetch_failed"), F.lit(None).cast("binary")).otherwise(F.col("html")),
+            )
+            .withColumn(
+                "content_type",
+                F.when(F.col("fetch_failed"), F.lit(None).cast("string")).otherwise(
+                    F.coalesce(F.col("content_type"), F.lit("text/plain"))
+                ),
+            )
+            .drop("p_url", "fetch_failed")
+        )
+
+
+@dataclass
+class StepStats:
+    superstep: int
+    wave: int
+    fetched: int
+    errors: int
+    links: int
+    new_frontier: int
+    emitted_total: int
+    pending_left: int
+    wall_ms: int
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: CrawlConfig,
+        fetcher,
+        state_root: str,
+    ):
+        self.spark = spark
+        self.config = config
+        self.fetcher = fetcher
+        self.store = SnapshotStore(state_root, spark)
+        self.accept_set: list[str] = []
+        self.superstep = 0
+        self.emitted_count = 0
+        self.order_counter = 0
+        self._pending_count = 0
+        self._bloom: bloom_ops.ShardedBloom | None = None
+
+    # ------------------------------------------------------------------
+    # seeding / resume
+    # ------------------------------------------------------------------
+
+    def _url_row(self, url: str, i: int) -> dict:
+        return {
+            "url": url,
+            "url_hash": urlops.url_hash(url),
+            "host": urlops.hostname(url),
+            "depth": 0,
+            "priority": 0.0,
+            "is_resource": False,
+            "is_redirect": False,
+            "src_url": None,
+            "superstep": 0,
+            "order_key": i,
+            "path_key": f"{i:08x}",
+        }
+
+    def seed(self, seed_patterns: list[str]) -> None:
+        """Expand seed patterns through Generators (JCrawler.java:710), build
+        the accept set (JCrawler.java:876-889), commit superstep 0."""
+        urls = generators.generate_all(seed_patterns)
+        self.accept_set = accept_ops.build_accept_set(
+            urls, self.config.accept, self.config.accept_hostname
+        )
+        # horizon dedup on insert: first occurrence wins
+        uniq: list[str] = []
+        seen_local: set[str] = set()
+        for u in urls:
+            h = urlops.url_hash(u)
+            if h not in seen_local:
+                seen_local.add(h)
+                uniq.append(u)
+        rows = [self._url_row(u, i) for i, u in enumerate(uniq)]
+        pending = self.spark.createDataFrame(rows, schema=_PENDING)
+        self.order_counter = len(rows)
+        self._pending_count = len(rows)
+        cfg = self.config
+        self._bloom = bloom_ops.ShardedBloom(
+            cfg.bloom_shards, cfg.bloom_bits_per_shard, cfg.bloom_hashes
+        )
+        self.store.stage_snapshot("frontier", pending, 0)
+        self.store.stage_blob("bloom", self._bloom.to_bytes(), 0)
+        host_state = self.spark.createDataFrame([], schema=self._host_state_schema())
+        self.store.stage_snapshot("host_state", host_state, 0)
+        self.store.commit(0, self._counters())
+        self.superstep = 0
+
+    @staticmethod
+    def _host_state_schema() -> T.StructType:
+        return T.StructType(
+            [
+                T.StructField("host", T.StringType(), False),
+                T.StructField("last_fetch_superstep", T.IntegerType(), True),
+                T.StructField("last_error_superstep", T.IntegerType(), True),
+            ]
+        )
+
+    def _counters(self) -> dict:
+        return {
+            "emitted_count": self.emitted_count,
+            "order_counter": self.order_counter,
+            "pending_count": self._pending_count,
+            "accept_set": self.accept_set,
+        }
+
+    def resume(self) -> int:
+        """Restore driver state from the latest committed snapshot."""
+        last = self.store.last_superstep()
+        if last is None:
+            raise ValueError("nothing to resume from")
+        c = self.store.counters(last)
+        self.superstep = last
+        self.emitted_count = c["emitted_count"]
+        self.order_counter = c["order_counter"]
+        self._pending_count = c.get("pending_count", 1 << 62)
+        self.accept_set = list(c["accept_set"])
+        blob = self.store.read_blob(last)
+        self._bloom = bloom_ops.ShardedBloom.from_bytes(blob)
+        return last
+
+    # ------------------------------------------------------------------
+    # wave selection (T1/T2/T6/T7/F7)
+    # ------------------------------------------------------------------
+
+    def _order_cols(self) -> list:
+        if self.config.traversal == TraversalType.DEPTH_FIRST_PREORDER:
+            return [F.col("path_key")]
+        return [F.col("priority"), F.col("order_key")]
+
+    def _select_wave(self, pending: DataFrame) -> DataFrame:
+        cfg = self.config
+        cand = pending
+
+        if cfg.traversal == TraversalType.DEPTH_FIRST_PREORDER:
+            # DFS dedups at VISIT time (Guava preorder yields on first
+            # encounter), so pending may hold the same URL via several paths;
+            # drop entries whose hash was already visited before popping.
+            seen_tbl = self.store.read("seen")
+            if seen_tbl is not None:
+                cand = cand.join(seen_tbl.select("url_hash"), "url_hash", "left_anti")
+
+        # F7 failing-host gate (logical clock): skip hosts errored within
+        # backoff. Skipped rows are consumed like the reference (the visited
+        # gate already fired when they were popped — our wave membership is
+        # the pop), so they're still selected but not fetched; the fetch gate
+        # happens in step(). Here we only apply scheduling windows.
+        if cfg.per_host_budget is not None:
+            b = cfg.per_host_budget
+            nsalt = cfg.skew_salt_buckets
+            w1 = Window.partitionBy("host", "salt").orderBy(*self._order_cols())
+            w2 = Window.partitionBy("host").orderBy(*self._order_cols())
+            cand = (
+                cand.withColumn("salt", F.pmod(F.xxhash64("url"), F.lit(nsalt)))
+                .withColumn("rn1", F.row_number().over(w1))
+                .where(F.col("rn1") <= b)
+                .withColumn("rn", F.row_number().over(w2))
+                .where(F.col("rn") <= b)
+                .drop("salt", "rn1", "rn")
+            )
+
+        limit = None
+        if self.config.traversal == TraversalType.DEPTH_FIRST_PREORDER:
+            limit = 1  # sequential by definition (single stack pop)
+        if cfg.wave_budget is not None:
+            limit = min(limit or cfg.wave_budget, cfg.wave_budget)
+        remaining = cfg.max_docs - self.emitted_count
+        limit = min(limit, remaining) if limit is not None else remaining
+        # only pay the global TakeOrdered when a cap actually binds — an
+        # unbounded wave needs no sort (processing order is restored from
+        # order_key at emission time)
+        if limit is not None and limit < self._pending_count:
+            cand = cand.orderBy(*self._order_cols()).limit(int(limit))
+        return cand
+
+    # ------------------------------------------------------------------
+    # one superstep
+    # ------------------------------------------------------------------
+
+    def step(self) -> StepStats | None:
+        t0 = time.monotonic()
+        cfg = self.config
+        s = self.superstep + 1
+        pending = self.store.read("frontier")
+        if pending is None:
+            return None
+
+        wave = self._select_wave(pending).persist()
+        wave_n = wave.count()
+        if wave_n == 0:
+            wave.unpersist()
+            return None
+
+        # ---- visited gate: wave is popped → seen & emitted now ----
+        emitted = wave.select(
+            "url", "url_hash", "depth", F.lit(s).alias("superstep"), "order_key", "path_key"
+        )
+        seen_delta = wave.select("url_hash", F.lit(s).alias("superstep"))
+
+        # ---- gates at pop time (JCrawler.java:995-1003): accept re-check +
+        # failing-host backoff (logical clock) ----
+        host_state = self.store.read("host_state")
+        backoff_steps = max(
+            1, cfg.failing_host_backoff_seconds // max(1, cfg.seconds_per_superstep)
+        )
+        gated = wave.withColumn(
+            "gate_accept",
+            accept_ops.accept_col(
+                F.col("url"), F.col("depth"), F.col("is_resource"),
+                F.col("is_redirect"), self.accept_set, cfg.depth,
+            ),
+        )
+        if host_state is not None and host_state.head(1):
+            hs = F.broadcast(host_state.select("host", "last_error_superstep"))
+            gated = gated.join(hs, "host", "left").withColumn(
+                "gate_host",
+                F.col("last_error_superstep").isNull()
+                | (F.lit(s) - F.col("last_error_superstep") > F.lit(backoff_steps)),
+            ).drop("last_error_superstep")
+        else:
+            gated = gated.withColumn("gate_host", F.lit(True))
+
+        to_fetch = gated.where(F.col("gate_accept") & F.col("gate_host"))
+
+        # ---- fetch (S8) ----
+        fetched = self.fetcher.fetch(to_fetch).persist()
+        err_n = fetched.where(F.col("error").isNotNull()).count()
+        fetch_n = fetched.count()
+
+        # pages output delta (crawl result record per processed URL)
+        pages_delta = fetched.select(
+            "url",
+            "url_hash",
+            "host",
+            "status",
+            "content_type",
+            "location",
+            "error",
+            F.lit(s).alias("superstep"),
+            "order_key",
+        )
+
+        # ---- extraction (JCrawler.java:1395-1450): errors → no links ----
+        links_src = fetched.where(F.col("error").isNull())
+        links = (
+            links_src.select(
+                F.col("url").alias("src_url"),
+                F.col("depth").alias("src_depth"),
+                F.col("order_key").alias("src_order_key"),
+                F.col("path_key").alias("src_path_key"),
+                F.explode(
+                    extract.extract_links_udf(
+                        "html", "url", "status", "content_type", "location"
+                    )
+                ).alias("l"),
+            )
+            .select(
+                "src_url",
+                "src_depth",
+                "src_order_key",
+                "src_path_key",
+                F.col("l.url").alias("url"),
+                F.col("l.text").alias("text"),
+                F.col("l.is_resource").alias("is_resource"),
+                F.col("l.is_redirect").alias("is_redirect"),
+                F.col("l.order_in_page").alias("order_in_page"),
+            )
+            # F8 self-filter (JCrawler.java:1233-1235)
+            .where(F.col("url") != F.col("src_url"))
+        )
+        # A1 per-page first-wins dedup (JCrawler.java:1236-1238)
+        w_page = Window.partitionBy("src_url", "url").orderBy("order_in_page")
+        links = (
+            links.withColumn("rn", F.row_number().over(w_page))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # accept filter on successors (JCrawler.java:1239-1244) + F6 side-output
+        links = accept_ops.with_accept(
+            links.withColumn("depth", F.col("src_depth") + 1),
+            self.accept_set,
+            cfg.depth,
+        ).persist()
+        links_n = links.count()
+        ignored = (
+            links.where(F.col("ignored_domain").isNotNull())
+            .select(F.col("ignored_domain").alias("host"))
+            .distinct()
+        )
+
+        accepted = links.where(F.col("accepted"))
+
+        # ---- horizon dedup (T4/T5): wave-internal first-wins, then
+        # Bloom-prefiltered exact anti-join vs seen, anti-join vs pending.
+        # DFS preorder skips the horizon gates: it dedups at visit time
+        # (Guava preorder semantics), so rediscoveries stay pending.
+        accepted = accepted.withColumn("url_hash", urlops.url_hash_col(F.col("url")))
+        is_dfs = cfg.traversal == TraversalType.DEPTH_FIRST_PREORDER
+        if is_dfs:
+            seen_tbl = self.store.read("seen")
+            cand = accepted
+            if seen_tbl is not None:
+                cand = cand.join(seen_tbl.select("url_hash"), "url_hash", "left_anti")
+        else:
+            w_wave = Window.partitionBy("url_hash").orderBy(
+                "src_order_key", "order_in_page"
+            )
+            cand = (
+                accepted.withColumn("rn", F.row_number().over(w_wave))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+            if cfg.bloom_enabled and self._bloom is not None:
+                cand = bloom_ops.prefilter_unseen(self.spark, cand, self._bloom)
+                maybe = cand.where(F.col("maybe_seen")).drop("maybe_seen")
+                fresh = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
+                seen_tbl = self.store.read("seen")
+                if seen_tbl is not None:
+                    maybe = maybe.join(
+                        seen_tbl.select("url_hash"), "url_hash", "left_anti"
+                    )
+                cand = fresh.unionByName(maybe)
+            else:
+                seen_tbl = self.store.read("seen")
+                if seen_tbl is not None:
+                    cand = cand.join(
+                        seen_tbl.select("url_hash"), "url_hash", "left_anti"
+                    )
+            # not already pending (horizonSet gate,
+            # ParallelGraphTraverser.java:96-105); wave ⊆ seen this superstep
+            cand = cand.join(pending.select("url_hash"), "url_hash", "left_anti")
+
+        # ---- deterministic rank → order_key/path_key for new rows ----
+        new_rows = self._rank_new(cand, s).persist()
+        new_n = new_rows.count()
+        self.order_counter += new_n
+
+        # ---- next pending snapshot ----
+        next_pending = (
+            pending.join(wave.select("url_hash"), "url_hash", "left_anti")
+            .unionByName(new_rows.select(*[f.name for f in _PENDING.fields]))
+        )
+
+        # ---- host_state update (logical clock) ----
+        fetch_hosts = fetched.groupBy("host").agg(
+            F.max(F.when(F.col("error").isNull(), F.lit(s))).alias("f"),
+            F.max(F.when(F.col("error").isNotNull(), F.lit(s))).alias("e"),
+        )
+        prev_hs = host_state if host_state is not None else self.spark.createDataFrame(
+            [], schema=self._host_state_schema()
+        )
+        next_hs = (
+            prev_hs.unionByName(
+                fetch_hosts.select(
+                    "host",
+                    F.col("f").alias("last_fetch_superstep"),
+                    F.col("e").alias("last_error_superstep"),
+                )
+            )
+            .groupBy("host")
+            .agg(
+                F.max("last_fetch_superstep").alias("last_fetch_superstep"),
+                F.max("last_error_superstep").alias("last_error_superstep"),
+            )
+        )
+
+        # ---- lineage (per-partition metrics) ----
+        lineage = (
+            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("rows_in"),
+                F.count(F.when(F.col("error").isNull(), 1)).alias("fetched"),
+                F.count(F.when(F.col("error").isNotNull(), 1)).alias("errors"),
+            )
+            .select(
+                F.lit(s).alias("superstep"),
+                "partition_id",
+                F.col("rows_in").cast("long"),
+                F.lit(links_n).cast("long").alias("rows_out"),
+                F.col("fetched").cast("long"),
+                F.col("errors").cast("long"),
+                F.lit(int((time.monotonic() - t0) * 1000)).cast("long").alias("wall_ms"),
+            )
+        )
+
+        # ---- update Bloom with this wave's hashes (distributed bitmap build) ----
+        if cfg.bloom_enabled and self._bloom is not None:
+            incs = bloom_ops.build_shard_increments(
+                wave.select("url_hash"),
+                self._bloom.n_shards,
+                self._bloom.m_bits,
+                self._bloom.k,
+            )
+            for shard, bitmap in incs:
+                self._bloom.merge_shard(shard, bitmap)
+
+        # ---- atomic commit ----
+        self.emitted_count += wave_n
+        self.store.stage_append("emitted", emitted, s)
+        self.store.stage_append("seen", seen_delta, s)
+        self.store.stage_append("pages", pages_delta, s)
+        self.store.stage_append(
+            "ignored_domains", ignored.withColumn("superstep", F.lit(s)), s
+        )
+        self.store.stage_append("lineage", lineage, s)
+        self.store.stage_snapshot("frontier", next_pending, s)
+        self.store.stage_snapshot("host_state", next_hs, s)
+        if self._bloom is not None:
+            self.store.stage_blob("bloom", self._bloom.to_bytes(), s)
+        self.store.commit(s, self._counters())
+        self.superstep = s
+
+        pending_left = self.store.read("frontier").count()
+        self._pending_count = pending_left
+        stats = StepStats(
+            superstep=s,
+            wave=wave_n,
+            fetched=fetch_n,
+            errors=err_n,
+            links=links_n,
+            new_frontier=new_n,
+            emitted_total=self.emitted_count,
+            pending_left=pending_left,
+            wall_ms=int((time.monotonic() - t0) * 1000),
+        )
+        wave.unpersist()
+        fetched.unpersist()
+        links.unpersist()
+        new_rows.unpersist()
+        return stats
+
+    def _rank_new(self, cand: DataFrame, s: int) -> DataFrame:
+        """Deterministic global rank of newly discovered URLs by
+        (parent order, in-page order): distributed sort + zipWithIndex —
+        no single-partition window, scales with executors."""
+        base = self.order_counter
+        sorted_df = cand.orderBy("src_order_key", "order_in_page", "url")
+        schema = sorted_df.schema
+        ranked = sorted_df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
+        out_schema = T.StructType(
+            list(schema.fields) + [T.StructField("rank", T.LongType())]
+        )
+        df = self.spark.createDataFrame(ranked, schema=out_schema)
+        # per-page sibling rank for the DFS path key
+        w_sib = Window.partitionBy("src_url").orderBy("order_in_page")
+        df = df.withColumn("sib", F.row_number().over(w_sib) - 1)
+        return df.select(
+            "url",
+            "url_hash",
+            urlops.host_col(F.col("url")).alias("host"),
+            F.col("depth").cast("int").alias("depth"),
+            F.col("depth").cast("double").alias("priority"),
+            "is_resource",
+            "is_redirect",
+            "src_url",
+            F.lit(s).alias("superstep"),
+            (F.lit(base) + F.col("rank")).cast("long").alias("order_key"),
+            F.concat(
+                F.col("src_path_key"), F.lit("/"), F.format_string("%08x", F.col("sib"))
+            ).alias("path_key"),
+        )
+
+    # ------------------------------------------------------------------
+    # run loop + outputs
+    # ------------------------------------------------------------------
+
+    def run(
+        self, seeds: list[str] | None = None, max_supersteps: int | None = None
+    ) -> list[StepStats]:
+        if seeds is not None:
+            self.seed(seeds)
+        else:
+            self.resume()
+        stats: list[StepStats] = []
+        while self.emitted_count < self.config.max_docs:
+            if max_supersteps is not None and len(stats) >= max_supersteps:
+                break
+            st = self.step()
+            if st is None:
+                break
+            stats.append(st)
+        return stats
+
+    def emitted(self) -> DataFrame:
+        """The crawl emission in deterministic order (T8): the reference's
+        visitedOrder queue as a table."""
+        df = self.store.read("emitted")
+        if df is None:
+            return self.spark.createDataFrame([], schema=schemas.EMITTED)
+        if self.config.traversal == TraversalType.DEPTH_FIRST_PREORDER:
+            # DFS pop order == global lexicographic path_key order (children
+            # extend the parent's prefix, so they sort right after it)
+            order = [F.col("path_key")]
+        else:
+            # wave processing order: supersteps in sequence, order_key within
+            # a wave (budget-deferred rows re-emit later with their old key)
+            order = [F.col("superstep"), F.col("order_key")]
+        return df.orderBy(*order).limit(self.config.max_docs)
+
+    def emitted_urls(self) -> list[str]:
+        return [r["url"] for r in self.emitted().select("url").collect()]
+
+    def visited_set(self) -> set[str]:
+        return {r["url"] for r in self.emitted().select("url").collect()}
+
+    def ignored_domains(self) -> list[str]:
+        df = self.store.read("ignored_domains")
+        if df is None:
+            return []
+        return [
+            r["host"]
+            for r in df.select("host").distinct().orderBy("host").collect()
+        ]

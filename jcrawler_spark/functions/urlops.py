@@ -213,7 +213,9 @@ def content_path_initial_col(url: Column) -> Column:
 
 
 def host_col(url: Column) -> Column:
-    return F.parse_url(url, F.lit("HOST"))
+    # try_: tolerate malformed extracted URLs (Python's urlparse is lenient,
+    # java.net.URI-based parse_url throws)
+    return F.try_parse_url(url, F.lit("HOST"))
 
 
 def is_resource_ext_col(url: Column) -> Column:

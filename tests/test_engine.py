@@ -1,0 +1,174 @@
+"""Crawl-order + URL-seen-set equivalence tests (SURVEY.md §5.1, §7.2.6) —
+the network-free stand-ins for the reference's golden crawl tests
+(JCrawlerTest.java:68-141): the Spark engine must emit the IDENTICAL ordered
+URL list and visited set as a pure-Python oracle implementing the
+reference's semantics, plus checkpoint/resume bit-equivalence."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from jcrawler_spark import corpus
+from jcrawler_spark.config import CrawlConfig, TraversalType
+from jcrawler_spark.engine import CrawlEngine, SyntheticFetcher
+from jcrawler_spark.functions import urlops
+from jcrawler_spark.operators import accept as accept_ops
+
+from crawl_oracle import OracleResult, _links_of, crawl_oracle, fifo_bfs_oracle
+
+N, H = 120, 8
+SEEDS = None  # initialized lazily
+ACCEPTS = [f"host{i}.example" for i in range(H)]
+
+
+def _seeds():
+    return [corpus.url_of(0, H)]
+
+
+def _accept_set():
+    return accept_ops.build_accept_set(_seeds(), ACCEPTS)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark):
+    df = corpus.build_pages_df(spark, N, H, partitions=4).cache()
+    df.count()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def pages_local():
+    return {p["url"]: p for p in corpus.local_pages(N, H)}
+
+
+def _run(spark, pages_df, tmp_path, cfg, failing=None, max_supersteps=40):
+    root = str(tmp_path / "state")
+    shutil.rmtree(root, ignore_errors=True)
+    eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages_df, failing), root)
+    eng.run(seeds=_seeds(), max_supersteps=max_supersteps)
+    return eng
+
+
+def test_bfs_matches_fifo_and_wave_oracle(spark, pages_df, pages_local, tmp_path):
+    cfg = CrawlConfig(accept=ACCEPTS, max_docs=500)
+    eng = _run(spark, pages_df, tmp_path, cfg)
+    emitted = eng.emitted_urls()
+    aset = _accept_set()
+    oracle = crawl_oracle(pages_local, _seeds(), aset, max_docs=500)
+    fifo = fifo_bfs_oracle(pages_local, _seeds(), aset, max_docs=500)
+    assert emitted == oracle.emitted
+    assert emitted == fifo  # wave-synchronous == sequential FIFO BFS
+    assert eng.visited_set() == oracle.visited
+    assert eng.ignored_domains() == sorted(oracle.ignored_domains)
+    assert len(emitted) == len(set(emitted))  # exactly-once invariant
+
+
+def test_budgets_and_failing_host(spark, pages_df, pages_local, tmp_path):
+    cfg = CrawlConfig(
+        accept=ACCEPTS,
+        max_docs=500,
+        per_host_budget=3,
+        wave_budget=12,
+        failing_host_backoff_seconds=600,
+        seconds_per_superstep=1,
+        bloom_enabled=False,  # exercise the no-Bloom path too
+    )
+    failing = ["host7.example"]
+    eng = _run(spark, pages_df, tmp_path, cfg, failing=failing, max_supersteps=60)
+    oracle = crawl_oracle(
+        pages_local,
+        _seeds(),
+        _accept_set(),
+        max_docs=500,
+        per_host_budget=3,
+        wave_budget=12,
+        failing_hosts=set(failing),
+        backoff_supersteps=600,
+    )
+    assert eng.emitted_urls() == oracle.emitted
+    assert eng.visited_set() == oracle.visited
+
+
+def test_max_docs_truncation(spark, pages_df, pages_local, tmp_path):
+    cfg = CrawlConfig(accept=ACCEPTS, max_docs=7)
+    eng = _run(spark, pages_df, tmp_path, cfg)
+    fifo = fifo_bfs_oracle(pages_local, _seeds(), _accept_set(), max_docs=7)
+    assert eng.emitted_urls() == fifo
+    assert len(fifo) == 7
+
+
+def test_checkpoint_resume_equivalence(spark, pages_df, tmp_path):
+    """Kill after superstep k, resume from snapshot, assert identical final
+    emission + frontier state (FIXTURES.md §6 resume-equivalence)."""
+    cfg = CrawlConfig(accept=ACCEPTS, max_docs=500)
+    root_a = str(tmp_path / "a")
+    eng_a = CrawlEngine(spark, cfg, SyntheticFetcher(pages_df), root_a)
+    eng_a.run(seeds=_seeds(), max_supersteps=40)
+
+    root_b = str(tmp_path / "b")
+    eng_b = CrawlEngine(spark, cfg, SyntheticFetcher(pages_df), root_b)
+    eng_b.seed(_seeds())
+    for _ in range(2):
+        eng_b.step()
+    # simulate crash: a NEW engine object resumes from the committed snapshot
+    eng_b2 = CrawlEngine(spark, cfg, SyntheticFetcher(pages_df), root_b)
+    eng_b2.run(seeds=None, max_supersteps=40)
+
+    assert eng_b2.emitted_urls() == eng_a.emitted_urls()
+    rows_a = sorted(
+        (r["url"], r["depth"], r["order_key"])
+        for r in eng_a.emitted().collect()
+    )
+    rows_b = sorted(
+        (r["url"], r["depth"], r["order_key"])
+        for r in eng_b2.emitted().collect()
+    )
+    assert rows_a == rows_b
+    # uncommitted-orphan safety: vacuum removes nothing referenced
+    eng_b2.store.vacuum()
+    assert eng_b2.emitted_urls() == eng_a.emitted_urls()
+
+
+def _dfs_preorder_oracle(pages_by_url, seed, accept_set, max_docs, max_depth=100):
+    emitted: list[str] = []
+    seen: set[str] = set()
+
+    def visit(url, depth, is_res, is_red):
+        if len(emitted) >= max_docs:
+            return
+        h = urlops.url_hash(url)
+        if h in seen:
+            return
+        seen.add(h)
+        emitted.append(url)
+        ok, _ = accept_ops.accept_link(url, depth, is_res, is_red, accept_set, max_depth)
+        if not ok:
+            return
+        page = pages_by_url.get(url)
+        if page is None:
+            return
+        for l in _links_of(page, url, depth):
+            ok2, _ = accept_ops.accept_link(
+                l["url"], depth + 1, l["is_resource"], l["is_redirect"],
+                accept_set, max_depth,
+            )
+            if ok2:
+                visit(l["url"], depth + 1, l["is_resource"], l["is_redirect"])
+
+    visit(seed, 0, False, False)
+    return emitted
+
+
+def test_dfs_preorder(spark, pages_df, pages_local, tmp_path):
+    cfg = CrawlConfig(
+        accept=ACCEPTS,
+        max_docs=12,
+        traversal=TraversalType.DEPTH_FIRST_PREORDER,
+        bloom_enabled=False,
+    )
+    eng = _run(spark, pages_df, tmp_path, cfg, max_supersteps=12)
+    expected = _dfs_preorder_oracle(pages_local, _seeds()[0], _accept_set(), 12)
+    assert eng.emitted_urls() == expected
