@@ -1,38 +1,989 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes one entry per implemented operator family from
+SURVEY.md §2 (crawl dataflow: scalars, extraction, filters, dedup,
+scheduling, traversal) plus the training-data-pipeline operators
+(exact/MinHash-LSH/SimHash/Jaccard dedup, cosine/LSH similarity search,
+language-ID, quality scoring, token counting, fingerprinting, multimodal
+plumbing). `oracle_sql()` carries the DuckDB-equivalent ANSI SQL for every
+SQL-expressible query; genuinely non-SQL ops (the crawl wave itself, media
+feature extraction) are rows-only by design.
+
+Column names and types are aligned pairwise (ints as BIGINT, floats rounded
+where summation order could differ). Deterministic synthesized columns
+(URLs, links, statuses) are derived from the sf tables by identical
+arithmetic on both sides.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from jcrawler_spark import corpus
+from jcrawler_spark.functions import generators, textops, urlops
+from jcrawler_spark.operators import accept as accept_ops
+from jcrawler_spark.operators import dedup, extract, graph, multimodal, similarity
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# deterministic URL synthesized from documents — same arithmetic in SQL
+_URL_SQL = (
+    "'https://docs' || (doc_id % 7) || '.example/' || source || '/doc-' || doc_id"
+    " || (CASE WHEN doc_id % 3 = 0 THEN '?ref=' || lang ELSE '' END)"
+    " || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+def _url_col() -> F.Column:
+    return F.concat(
+        F.lit("https://docs"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/"),
+        F.col("source"),
+        F.lit("/doc-"),
+        F.col("doc_id").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.lit("?ref="), F.col("lang"))
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl scalar operators (SURVEY.md §2.5; Slug.java goldens)
+# ---------------------------------------------------------------------------
+
+
+def q_url_hash(spark, sf_dir):
+    """Slug.urlHash: sha-256 of the sanitized URL (Slug.java:176-196)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _url_col())
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "url",
+        urlops.url_hash_col(F.col("url")).alias("url_hash"),
+    )
+
+
+_URL_HASH_SQL = f"""
+SELECT doc_id, url, sha256(lower(regexp_replace(url, '#.*$', ''))) AS url_hash
+FROM (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+"""
+
+
+def q_slug_path(spark, sf_dir):
+    """Slug.path: wget-style relative path, '?'->'@' (Slug.java:198-233)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _url_col())
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        urlops.slug_path_col(F.col("url")).alias("path"),
+    )
+
+
+_SLUG_PATH_SQL = f"""
+SELECT doc_id,
+  (CASE WHEN p LIKE '%/' THEN p || '/index.html' ELSE p END) AS path
+FROM (
+  SELECT doc_id,
+    translate(
+      regexp_replace(replace(lower(regexp_replace(url, '#.*$', '')), '?', '@'),
+                     '^[^:]+://', ''),
+      ':*"<>|', '') AS p
+  FROM (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+)
+"""
+
+
+def q_host_extract(spark, sf_dir):
+    """P5 hostname extraction (HyperLink.java:77-82)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _url_col())
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        urlops.host_col(F.col("url")).alias("host"),
+    )
+
+
+_HOST_SQL = f"""
+SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+FROM (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+"""
+
+_LINK_SQL = (
+    "(CASE doc_id % 4"
+    " WHEN 0 THEN 'https://ok.example/' || doc_id"
+    " WHEN 1 THEN 'tel:+40' || doc_id"
+    " WHEN 2 THEN 'mailto:u' || doc_id || '@x.y'"
+    " ELSE 'javascript:void(' || doc_id || ')' END)"
+)
+
+
+def _link_col() -> F.Column:
+    d = F.col("doc_id").cast("string")
+    return (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit("https://ok.example/"), d))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("tel:+40"), d))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("mailto:u"), d, F.lit("@x.y")),
+        )
+        .otherwise(F.concat(F.lit("javascript:void("), d, F.lit(")")))
+    )
+
+
+def q_protocol_filter(spark, sf_dir):
+    """F1 unsupported-protocol filter (JCrawler.java:908-914,942-943)."""
+    docs = _t(spark, sf_dir, "documents").withColumn("link", _link_col())
+    return docs.where(~urlops.unsupported_protocol_col(F.col("link"))).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "link"
+    )
+
+
+_PROTOCOL_SQL = f"""
+SELECT doc_id, link FROM (SELECT doc_id, {_LINK_SQL} AS link FROM documents)
+WHERE NOT regexp_matches(lower(link),
+  '^(tel|mailto|javascript|data|blob|file|ftp|ssh|git):')
+"""
+
+_RES_URL_SQL = (
+    "('https://r.example/f' || doc_id ||"
+    " (CASE doc_id % 6 WHEN 0 THEN '.pdf' WHEN 1 THEN '.jpg' WHEN 2 THEN '.css'"
+    " WHEN 3 THEN '.js' WHEN 4 THEN '.html' ELSE '' END))"
+)
+
+
+def q_resource_classify(spark, sf_dir):
+    """P2 resource classification by extension (JCrawler.java:443-449)."""
+    d = F.col("doc_id").cast("string")
+    ext = (
+        F.when(F.col("doc_id") % 6 == 0, F.lit(".pdf"))
+        .when(F.col("doc_id") % 6 == 1, F.lit(".jpg"))
+        .when(F.col("doc_id") % 6 == 2, F.lit(".css"))
+        .when(F.col("doc_id") % 6 == 3, F.lit(".js"))
+        .when(F.col("doc_id") % 6 == 4, F.lit(".html"))
+        .otherwise(F.lit(""))
+    )
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "res_url", F.concat(F.lit("https://r.example/f"), d, ext)
+    )
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "res_url",
+        urlops.is_resource_ext_col(F.col("res_url")).alias("is_resource"),
+    )
+
+
+_RESOURCE_SQL = f"""
+SELECT doc_id, res_url,
+  regexp_matches(lower(res_url), '\\.(pdf|zip|mp3|avi|jpg|png|css|js)$') AS is_resource
+FROM (SELECT doc_id, {_RES_URL_SQL} AS res_url FROM documents)
+"""
+
+
+def q_seed_range(spark, sf_dir):
+    """S1 range seed generator, Spark-side (Generators.java:115-128)."""
+    return generators.range_seeds(spark, "https://h.example/p/%s", 1, 200)
+
+
+_SEED_RANGE_SQL = """
+SELECT 'https://h.example/p/' || i AS url FROM generate_series(1, 200) t(i)
+"""
+
+
+def q_seed_alternatives(spark, sf_dir):
+    """S2+S3 alternatives/cartesian generators (Generators.java:131-159)."""
+    urls = generators.generate("https://{www.|}h{1-3}.example/{a|b}")
+    return spark.createDataFrame([(u,) for u in urls], ["url"])
+
+
+_SEED_ALT_SQL = """
+SELECT 'https://' || w || 'h' || i || '.example/' || p AS url
+FROM unnest(['www.', '']) t1(w), generate_series(1, 3) t2(i), unnest(['a', 'b']) t3(p)
+"""
+
+
+# ---------------------------------------------------------------------------
+# link extraction + redirects (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+def _synth_pages(spark, sf_dir) -> DataFrame:
+    d = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<a href="/p/'), d, F.lit('">'), F.col("source"), F.lit("</a>"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lit('<img src="/img/'), d, F.lit('.png">')),
+        ).otherwise(F.lit("")),
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("https://d"), (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example/page/"), d,
+            ),
+        )
+        .withColumn("html", html.cast("binary"))
+        .withColumn("status", F.lit(200))
+        .withColumn("content_type", F.lit("text/html"))
+        .withColumn("location", F.lit(None).cast("string"))
+    )
+
+
+def q_link_extract(spark, sf_dir):
+    """The 16-matcher regex extractor as an Arrow UDF + explode
+    (JCrawler.java:344-417,420-559), URL resolution included."""
+    pages = _synth_pages(spark, sf_dir)
+    return (
+        pages.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.explode(
+                extract.extract_links_udf(
+                    "html", "url", "status", "content_type", "location"
+                )
+            ).alias("l"),
+        )
+        .select(
+            "doc_id",
+            F.col("l.url").alias("link_url"),
+            F.col("l.text").alias("anchor_text"),
+            F.col("l.is_resource").alias("is_resource"),
+            F.col("l.order_in_page").cast("long").alias("pos"),
+        )
+    )
+
+
+# NOTE: anchor_text is '' even for <a> links — the shipped reference
+# captures the (?<text>...) group but passes `directive != null ?
+# directive : ""` as the HyperLink text (JCrawler.java:500-501), so
+# anchor text is discarded; we replicate that observable behavior.
+_LINK_EXTRACT_SQL = """
+SELECT doc_id,
+  'https://d' || (doc_id % 7) || '.example/p/' || doc_id AS link_url,
+  '' AS anchor_text, false AS is_resource, 0::BIGINT AS pos
+FROM documents
+UNION ALL
+SELECT doc_id,
+  'https://d' || (doc_id % 7) || '.example/img/' || doc_id || '.png' AS link_url,
+  '' AS anchor_text, true AS is_resource, 1::BIGINT AS pos
+FROM documents WHERE doc_id % 2 = 0
+"""
+
+
+def q_redirect_links(spark, sf_dir):
+    """3xx redirect pseudo-links (JCrawler.java:1428-1444): depth+1,
+    text 'Moved - http status N', extension-classified."""
+    n = _t(spark, sf_dir, "documents").count()
+    d = F.col("doc_id")
+    target = F.concat(
+        F.lit("https://d"), (((d * 13 + 1) % n) % 7).cast("string"),
+        F.lit(".example/t/"), ((d * 13 + 1) % n).cast("string"),
+        F.when(d % 100 == 51, F.lit(".pdf")).otherwise(F.lit("")),
+    )
+    pages = (
+        _t(spark, sf_dir, "documents")
+        .where(d % 50 == 1)
+        .withColumn(
+            "url",
+            F.concat(F.lit("https://d"), (d % 7).cast("string"),
+                     F.lit(".example/page/"), d.cast("string")),
+        )
+        .withColumn("html", F.lit(None).cast("binary"))
+        .withColumn("status", F.lit(301))
+        .withColumn("content_type", F.lit("text/html"))
+        .withColumn("location", target)
+    )
+    return (
+        pages.select(
+            F.col("url").alias("src_url"),
+            F.explode(
+                extract.extract_links_udf(
+                    "html", "url", "status", "content_type", "location"
+                )
+            ).alias("l"),
+        )
+        .select(
+            "src_url",
+            F.col("l.url").alias("target_url"),
+            F.col("l.text").alias("text"),
+            F.col("l.is_resource").alias("is_resource"),
+            F.col("l.is_redirect").alias("is_redirect"),
+        )
+    )
+
+
+_REDIRECT_SQL = """
+SELECT
+  'https://d' || (doc_id % 7) || '.example/page/' || doc_id AS src_url,
+  'https://d' || (((doc_id*13+1) % (SELECT count(*) FROM documents)) % 7)
+    || '.example/t/' || ((doc_id*13+1) % (SELECT count(*) FROM documents))
+    || (CASE WHEN doc_id % 100 = 51 THEN '.pdf' ELSE '' END) AS target_url,
+  'Moved - http status 301' AS text,
+  (doc_id % 100 = 51) AS is_resource,
+  true AS is_redirect
+FROM documents WHERE doc_id % 50 = 1
+"""
+
+_EXT_LINK_SQL = (
+    "(CASE doc_id % 3"
+    " WHEN 0 THEN 'https://accepted.example/p/' || doc_id"
+    " WHEN 1 THEN 'https://ext' || (doc_id % 4) || '.example/x'"
+    " ELSE 'mailto:a@b' || doc_id || '.c' END)"
+)
+
+
+def q_ignored_domains(spark, sf_dir):
+    """F6/A3 external-domain side-output: sorted distinct rejected hosts
+    (JCrawler.java:916-937,672-684)."""
+    d = F.col("doc_id").cast("string")
+    link = (
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit("https://accepted.example/p/"), d))
+        .when(F.col("doc_id") % 3 == 1,
+              F.concat(F.lit("https://ext"), (F.col("doc_id") % 4).cast("string"),
+                       F.lit(".example/x")))
+        .otherwise(F.concat(F.lit("mailto:a@b"), d, F.lit(".c")))
+    )
+    links = _t(spark, sf_dir, "documents").select(
+        link.alias("url"),
+        F.lit(0).alias("depth"),
+        F.lit(False).alias("is_resource"),
+        F.lit(False).alias("is_redirect"),
+    )
+    return accept_ops.ignored_domains(
+        accept_ops.with_accept(links, ["https://accepted.example"])
+    )
+
+
+_IGNORED_SQL = f"""
+SELECT DISTINCT regexp_extract(link, '^[a-z]+://([^/]+)', 1) AS host
+FROM (SELECT {_EXT_LINK_SQL} AS link FROM documents)
+WHERE link LIKE 'https://ext%'
+ORDER BY host
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup / scheduling / traversal (SURVEY.md §2.4)
+# ---------------------------------------------------------------------------
+
+
+def q_first_wins_dedup(spark, sf_dir):
+    """A1 first-occurrence-wins dedup (JCrawler.java:1236-1238) over
+    lineitem (l_orderkey,l_partkey) keyed groups ordered by l_linenumber."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey", "l_partkey").orderBy("l_linenumber")
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            F.col("l_partkey").cast("long").alias("l_partkey"),
+            F.col("l_linenumber").cast("long").alias("first_line"),
+        )
+    )
+
+
+_FIRST_WINS_SQL = """
+SELECT l_orderkey, l_partkey, l_linenumber AS first_line FROM (
+  SELECT l_orderkey, l_partkey, l_linenumber,
+    row_number() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+def q_politeness_window(spark, sf_dir):
+    """T7 per-host politeness budget as the two-phase salted top-k the
+    engine uses (JCrawler.java:868,892-897 token pool → per-host window):
+    first 3 events per user_id by (ts,event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    b, nsalt = 3, 16
+    w1 = Window.partitionBy("user_id", "salt").orderBy("ts", "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("salt", F.pmod(F.xxhash64("event_id"), F.lit(nsalt)))
+        .withColumn("rn1", F.row_number().over(w1))
+        .where(F.col("rn1") <= b)
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= b)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+_POLITENESS_SQL = """
+SELECT user_id, event_id, rn FROM (
+  SELECT user_id, event_id,
+    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def q_failing_host_gate(spark, sf_dir):
+    """F7 failing-host backoff (JCrawler.java:870-872,1000-1003): drop
+    events within 600s after the user's previous 'error' event."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_err = F.max(
+        F.when(F.col("event_type") == "error", F.col("ts"))
+    ).over(w)
+    return (
+        ev.withColumn("last_err", last_err)
+        .where(
+            F.col("last_err").isNull()
+            | (F.col("ts") > F.col("last_err") + F.expr("INTERVAL 600 SECONDS"))
+        )
+        .select(
+            F.col("event_id").cast("long").alias("event_id"),
+            F.col("user_id").cast("long").alias("user_id"),
+        )
+    )
+
+
+_FAILING_GATE_SQL = """
+SELECT event_id, user_id FROM (
+  SELECT event_id, user_id, ts,
+    max(CASE WHEN event_type = 'error' THEN ts END) OVER (
+      PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_err
+  FROM events
+) WHERE last_err IS NULL OR ts > last_err + INTERVAL 600 SECOND
+"""
+
+
+def q_bfs_reachability(spark, sf_dir):
+    """T1 BFS traversal distilled: min-depth over the synthetic K=3 tree +
+    cross-links graph (the engine's wave loop, JCrawler.java:568-574),
+    verified against a recursive-CTE oracle."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    tree = None
+    for j in (1, 2, 3):
+        e = ids.select(
+            F.col("doc_id").alias("src"), (F.col("doc_id") * 3 + j).alias("dst")
+        ).where(F.col("dst") < n)
+        tree = e if tree is None else tree.unionByName(e)
+    cross = ids.where(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7) % n).alias("dst")
+    )
+    edges = tree.unionByName(cross)
+    sources = spark.createDataFrame([(0,)], ["doc_id"])
+    return graph.bfs_min_depth(edges, sources, max_depth=25)
+
+
+_BFS_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT doc_id AS src, doc_id*3 + j AS dst
+  FROM documents, unnest([1,2,3]) t(j)
+  WHERE doc_id*3 + j < (SELECT count(*) FROM documents)
+  UNION ALL
+  SELECT doc_id, (doc_id*7) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 10 = 3
+),
+r AS (
+  SELECT 0::BIGINT AS id, 0::BIGINT AS depth
+  UNION
+  SELECT e.dst, r.depth + 1 FROM r JOIN edges e ON e.src = r.id
+  WHERE r.depth < 25
+)
+SELECT id AS doc_id, min(depth) AS depth FROM r GROUP BY id
+"""
+
+
+def q_content_path_final(spark, sf_dir):
+    """Slug.contentPathFinal (Slug.java:88-110): status-aware final path
+    with content-type extension."""
+    d = F.col("doc_id")
+    status = (
+        F.when(d % 50 == 1, F.lit(301))
+        .when(d % 100 == 2, F.lit(404))
+        .otherwise(F.lit(200))
+    )
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .withColumn(
+            "url",
+            F.concat(F.lit("https://docs"), (d % 7).cast("string"),
+                     F.lit(".example/"), F.col("source"), F.lit("/doc-"),
+                     d.cast("string")),
+        )
+        .withColumn("status", status)
+    )
+    base = urlops.slug_path_col(F.col("url"), strip_query_params=True)
+    path = F.concat(
+        base,
+        F.when(F.col("status") != 200,
+               F.concat(F.lit(".E"), F.col("status").cast("string"))
+               ).otherwise(F.lit("")),
+        F.lit(".html"),
+    )
+    return docs.select(
+        d.cast("long").alias("doc_id"), path.alias("path")
+    )
+
+
+_CPF_SQL = """
+SELECT doc_id,
+  'docs' || (doc_id % 7) || '.example/' || source || '/doc-' || doc_id
+  || (CASE WHEN s != 200 THEN '.E' || s ELSE '' END) || '.html' AS path
+FROM (
+  SELECT doc_id, source,
+    (CASE WHEN doc_id % 50 = 1 THEN 301
+          WHEN doc_id % 100 = 2 THEN 404 ELSE 200 END) AS s
+  FROM documents
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data dedup family
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash over a corpus with injected duplicates."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    return dedup.exact_duplicates(docs.unionByName(dup))
+
+
+_DEDUP_EXACT_SQL = """
+WITH u AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents
+)
+SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM u GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+_SHINGLES = dedup.shingles_sql("text", 3)
+_SH_GUARDED = f"(CASE WHEN len({_SHINGLES}) > 0 THEN {_SHINGLES} ELSE [text] END)"
+
+
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (word-3-gram shingles, 4 permutations)."""
+    return dedup.minhash_signatures(
+        _t(spark, sf_dir, "documents"), k=3, n_perm=4
+    ).select(
+        F.col("id").cast("long").alias("id"), "mh0", "mh1", "mh2", "mh3"
+    )
+
+
+_MINHASH_SQL = f"""
+SELECT doc_id AS id,
+  {dedup.minhash_sql('s', 0)} AS mh0,
+  {dedup.minhash_sql('s', 1)} AS mh1,
+  {dedup.minhash_sql('s', 2)} AS mh2,
+  {dedup.minhash_sql('s', 3)} AS mh3
+FROM (SELECT doc_id, {_SH_GUARDED} AS s FROM documents)
+"""
+
+
+def q_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: band the signatures, bucket-join."""
+    sigs = dedup.minhash_signatures(_t(spark, sf_dir, "documents"), k=3, n_perm=4)
+    return dedup.lsh_candidate_pairs(sigs, n_perm=4, band_size=2).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+_LSH_PAIRS_SQL = f"""
+WITH sig AS (
+  SELECT doc_id AS id,
+    {dedup.minhash_sql('s', 0)} AS mh0, {dedup.minhash_sql('s', 1)} AS mh1,
+    {dedup.minhash_sql('s', 2)} AS mh2, {dedup.minhash_sql('s', 3)} AS mh3
+  FROM (SELECT doc_id, {_SH_GUARDED} AS s FROM documents)
+),
+bands AS (
+  SELECT id, 0 AS band,
+    {dedup.hash60_sql("mh0::VARCHAR || ',' || mh1::VARCHAR")} AS bh FROM sig
+  UNION ALL
+  SELECT id, 1 AS band,
+    {dedup.hash60_sql("mh2::VARCHAR || ',' || mh3::VARCHAR")} AS bh FROM sig
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard verify over the LSH candidate pairs (near-dup pass)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, k=3, n_perm=4)
+    pairs = dedup.lsh_candidate_pairs(sigs, n_perm=4, band_size=2)
+    j = dedup.ngram_jaccard(pairs, docs, k=3)
+    return j.where(F.col("jaccard") >= 0.2).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.round("jaccard", 3).alias("jaccard_r3"),
+    )
+
+
+_NGRAM_JACCARD_SQL = f"""
+WITH sig AS (
+  SELECT doc_id AS id,
+    {dedup.minhash_sql('s', 0)} AS mh0, {dedup.minhash_sql('s', 1)} AS mh1,
+    {dedup.minhash_sql('s', 2)} AS mh2, {dedup.minhash_sql('s', 3)} AS mh3
+  FROM (SELECT doc_id, {_SH_GUARDED} AS s FROM documents)
+),
+bands AS (
+  SELECT id, 0 AS band,
+    {dedup.hash60_sql("mh0::VARCHAR || ',' || mh1::VARCHAR")} AS bh FROM sig
+  UNION ALL
+  SELECT id, 1 AS band,
+    {dedup.hash60_sql("mh2::VARCHAR || ',' || mh3::VARCHAR")} AS bh FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+sh AS (SELECT doc_id AS id, list_distinct({_SHINGLES}) AS s FROM documents)
+SELECT p.id_a, p.id_b,
+  round(len(list_intersect(sa.s, sb.s))::DOUBLE /
+        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 3)
+    AS jaccard_r3
+FROM pairs p JOIN sh sa ON sa.id = p.id_a JOIN sh sb ON sb.id = p.id_b
+WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
+      (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.2
+"""
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash-32 signatures over whitespace tokens."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        dedup.simhash_col(F.col("text"), bits=32).alias("simhash32"),
+    )
+
+
+_SIMHASH_SQL = f"""
+SELECT doc_id, {dedup.simhash_sql('text', 32)} AS simhash32 FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 for 8 probe vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 8)
+    return similarity.brute_force_topk(emb, probes, k=5).select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+        "sim_r3",
+    )
+
+
+_COSINE_SQL = f"""
+WITH p AS (SELECT vec_id AS probe_id, embedding AS pv FROM embeddings WHERE vec_id < 8),
+s AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+    {similarity.cosine_sql('p.pv', 'e.embedding')} AS sim
+  FROM embeddings e, p WHERE e.vec_id != p.probe_id
+)
+SELECT probe_id, neighbor_id, rank, round(sim, 3) AS sim_r3 FROM (
+  SELECT probe_id, neighbor_id, sim,
+    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-5 (6 deterministic hyperplanes)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 8)
+    return similarity.lsh_topk(emb, probes, n_planes=6, dim=64, k=5).select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+    )
+
+
+_LSH_ANN_SQL = f"""
+WITH b AS (
+  SELECT vec_id, embedding,
+    {similarity.lsh_bucket_sql('embedding', 6, 64)} AS bucket
+  FROM embeddings
+),
+p AS (SELECT vec_id AS probe_id, embedding AS pv, bucket FROM b WHERE vec_id < 8),
+s AS (
+  SELECT p.probe_id, e.vec_id AS neighbor_id,
+    {similarity.cosine_sql('p.pv', 'e.embedding')} AS sim
+  FROM b e JOIN p ON e.bucket = p.bucket AND e.vec_id != p.probe_id
+)
+SELECT probe_id, neighbor_id, rank FROM (
+  SELECT probe_id, neighbor_id,
+    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM s
+) WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis family
+# ---------------------------------------------------------------------------
+
+
+def q_lang_id(spark, sf_dir):
+    """Marker-stopword language ID (en/ro/und)."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textops.lang_id_col(F.col("text")).alias("lang_guess"),
+    )
+
+
+_EN = "['the','and','of','to','in','is','that','for','with']"
+_RO = "['și','de','la','cu','este','pentru','din','care','sunt']"
+
+_LANG_SQL = f"""
+SELECT doc_id,
+  (CASE WHEN en = 0 AND ro = 0 THEN 'und'
+        WHEN en >= ro THEN 'en' ELSE 'ro' END) AS lang_guess
+FROM (
+  SELECT doc_id,
+    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        w -> list_contains({_EN}, w))) AS en,
+    len(list_filter(string_split_regex(lower(text), '\\s+'),
+        w -> list_contains({_RO}, w))) AS ro
+  FROM documents
+)
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Composite quality (length/alpha/stopword ratios) averaged by source."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select("source", textops.quality_score_col(F.col("text")).alias("q"))
+        .groupBy("source")
+        .agg(F.round(F.avg("q"), 4).alias("avg_quality"))
+    )
+
+
+_QUALITY_SQL = f"""
+SELECT source, round(avg(q), 4) AS avg_quality FROM (
+  SELECT source,
+    (CASE WHEN n = 0 THEN 0.0 ELSE
+      (least(n / 500.0, 1.0)
+       + alpha / n
+       + (CASE WHEN nw = 0 THEN 0.0
+               ELSE least(hits / (nw / 10.0), 1.0) END)) / 3.0 END) AS q
+  FROM (
+    SELECT source,
+      length(text)::DOUBLE AS n,
+      length(regexp_replace(text, '[^A-Za-zăâîșțĂÂÎȘȚ]', '', 'g'))::DOUBLE AS alpha,
+      len(string_split_regex(lower(text), '\\s+'))::DOUBLE AS nw,
+      (len(list_filter(string_split_regex(lower(text), '\\s+'),
+           w -> list_contains({_EN}, w)))
+       + len(list_filter(string_split_regex(lower(text), '\\s+'),
+           w -> list_contains({_RO}, w))))::DOUBLE AS hits
+    FROM documents
+  )
+) GROUP BY source
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """BPE-ish + whitespace token counts."""
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textops.token_count_col(F.col("text")).cast("long").alias("n_tokens"),
+        textops.whitespace_token_count_col(F.col("text"))
+        .cast("long")
+        .alias("n_ws_tokens"),
+    )
+
+
+_TOKEN_SQL = r"""
+SELECT doc_id,
+  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\sA-Za-z0-9_]'))::BIGINT AS n_tokens,
+  len(string_split_regex(trim(text), '\s+'))::BIGINT AS n_ws_tokens
+FROM documents
+"""
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Winnowing-style fingerprint: min 60-bit hash over word-3-grams."""
+    sh = dedup.shingles_col(F.col("text"), 3)
+    sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.col("text")))
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.array_min(F.transform(sh, lambda s: dedup.hash60(s))).alias("fingerprint"),
+    )
+
+
+_FINGERPRINT_SQL = f"""
+SELECT doc_id,
+  list_min([{dedup.hash60_sql('s')} for s in {_SH_GUARDED}]) AS fingerprint
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# rows-only (non-SQL-expressible) ops
+# ---------------------------------------------------------------------------
+
+
+def q_crawl_wave(spark, sf_dir):
+    """One full crawl wave over the synthetic corpus: fetch-join → Arrow
+    extract UDF → self-filter → first-wins dedup → accept → frontier rows
+    (the engine pipeline distilled; stateless so no oracle table exists)."""
+    n = min(_t(spark, sf_dir, "documents").count(), 500)
+    pages = corpus.build_pages_df(spark, n, 8, partitions=8)
+    seeds = spark.createDataFrame(
+        [(corpus.url_of(0, 8), 0)], ["url", "depth"]
+    )
+    fetched = seeds.join(pages, "url")
+    links = (
+        fetched.select(
+            F.col("url").alias("src_url"),
+            F.col("depth").alias("src_depth"),
+            F.explode(
+                extract.extract_links_udf(
+                    "html", "url", "status", "content_type", "location"
+                )
+            ).alias("l"),
+        )
+        .select(
+            "src_url",
+            (F.col("src_depth") + 1).alias("depth"),
+            F.col("l.url").alias("url"),
+            F.col("l.is_resource").alias("is_resource"),
+            F.col("l.is_redirect").alias("is_redirect"),
+            F.col("l.order_in_page").alias("order_in_page"),
+        )
+        .where(F.col("url") != F.col("src_url"))
+    )
+    w = Window.partitionBy("src_url", "url").orderBy("order_in_page")
+    links = links.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    aset = accept_ops.build_accept_set(
+        [corpus.url_of(0, 8)], [f"host{i}.example" for i in range(8)]
+    )
+    return (
+        accept_ops.with_accept(links.drop("rn"), aset)
+        .where(F.col("accepted"))
+        .select(
+            "url",
+            F.col("depth").cast("long").alias("depth"),
+            "is_resource",
+            "is_redirect",
+            urlops.url_hash_col(F.col("url")).alias("url_hash"),
+        )
+    )
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: deterministic fake features over binary media
+    via Arrow mapInPandas (decode stubbed — no codecs in this container)."""
+    n = min(_t(spark, sf_dir, "documents").count(), 200)
+    media = multimodal.synthetic_media(spark, n, partitions=4)
+    return multimodal.extract_features(media).select(
+        "media_id",
+        "n_bytes",
+        F.round("byte_mean", 3).alias("byte_mean_r3"),
+        F.round("byte_entropy", 3).alias("byte_entropy_r3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one crawl-wave expansion at sf0.001."""
+    return q_crawl_wave(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "url_hash": q_url_hash,
+        "slug_path": q_slug_path,
+        "host_extract": q_host_extract,
+        "protocol_filter": q_protocol_filter,
+        "resource_classify": q_resource_classify,
+        "seed_range": q_seed_range,
+        "seed_alternatives": q_seed_alternatives,
+        "link_extract": q_link_extract,
+        "redirect_links": q_redirect_links,
+        "ignored_domains": q_ignored_domains,
+        "first_wins_dedup": q_first_wins_dedup,
+        "politeness_window": q_politeness_window,
+        "failing_host_gate": q_failing_host_gate,
+        "bfs_reachability": q_bfs_reachability,
+        "content_path_final": q_content_path_final,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_pairs": q_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "lang_id": q_lang_id,
+        "quality_score": q_quality_score,
+        "token_count": q_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "crawl_wave": q_crawl_wave,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "url_hash": _URL_HASH_SQL,
+        "slug_path": _SLUG_PATH_SQL,
+        "host_extract": _HOST_SQL,
+        "protocol_filter": _PROTOCOL_SQL,
+        "resource_classify": _RESOURCE_SQL,
+        "seed_range": _SEED_RANGE_SQL,
+        "seed_alternatives": _SEED_ALT_SQL,
+        "link_extract": _LINK_EXTRACT_SQL,
+        "redirect_links": _REDIRECT_SQL,
+        "ignored_domains": _IGNORED_SQL,
+        "first_wins_dedup": _FIRST_WINS_SQL,
+        "politeness_window": _POLITENESS_SQL,
+        "failing_host_gate": _FAILING_GATE_SQL,
+        "bfs_reachability": _BFS_SQL,
+        "content_path_final": _CPF_SQL,
+        "dedup_exact": _DEDUP_EXACT_SQL,
+        "minhash_signatures": _MINHASH_SQL,
+        "lsh_pairs": _LSH_PAIRS_SQL,
+        "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "simhash": _SIMHASH_SQL,
+        "cosine_topk": _COSINE_SQL,
+        "lsh_ann_topk": _LSH_ANN_SQL,
+        "lang_id": _LANG_SQL,
+        "quality_score": _QUALITY_SQL,
+        "token_count": _TOKEN_SQL,
+        "doc_fingerprint": _FINGERPRINT_SQL,
+        # crawl_wave, media_features: rows-only by design (stateful engine
+        # pipeline / binary mapInPandas — no SQL-visible input table)
+    }

@@ -1,0 +1,144 @@
+"""Headline benchmark: crawl-engine throughput + the heavy operators, at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default all cores).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "urls_per_sec": ...}
+
+The crawl bench is the authoritative metric path (BASELINE.json: URLs
+fetched+extracted/sec): a synthetic Common-Crawl-style corpus scaled to the
+sf's documents table (20 pages/doc), seeded wide (1000 roots) so waves are
+large and superstep overhead amortizes — the shape a 10^10 frontier has.
+Corpus generation and Spark warm-up are excluded from timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from jcrawler_spark import corpus  # noqa: E402
+from jcrawler_spark.config import CrawlConfig  # noqa: E402
+from jcrawler_spark.engine import CrawlEngine, SyntheticFetcher  # noqa: E402
+from jcrawler_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+PAGES_PER_DOC = int(os.environ.get("SPARK_GRAFT_PAGES_PER_DOC", "20"))
+
+
+def _sf_from_dir(d: str) -> float:
+    base = os.path.basename(d.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    spark = get_spark(f"local[{CPUS}]", app_name="jcrawler-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as entrymod
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_docs = docs.count()
+    n_pages = max(2000, n_docs * PAGES_PER_DOC)
+    n_hosts = max(8, n_pages // 100)
+
+    # ---- setup (untimed): corpus + warm-up ----
+    state_root = tempfile.mkdtemp(prefix="jcrawler-bench-")
+    corpus_path = os.path.join(state_root, "pages")
+    corpus.write_pages(spark, corpus_path, n_pages, n_hosts, partitions=CPUS * 2)
+    pages_df = spark.read.parquet(corpus_path)
+    pages_df.count()  # warm the page cache / JIT
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- crawl superstep engine (the authoritative metric) ----
+    seeds = [corpus.url_of(i, n_hosts) for i in range(1000)]
+    cfg = CrawlConfig(
+        max_docs=min(40_000, n_pages),
+        bloom_enabled=True,
+        bloom_shards=16,
+    )
+    eng = CrawlEngine(
+        spark, cfg, SyntheticFetcher(pages_df), os.path.join(state_root, "state")
+    )
+    t0 = time.monotonic()
+    eng.seed(seeds)
+    # all synthetic hosts share the 'host*.example' prefix — two literal
+    # prefixes beat a per-host OR-chain of thousands of startswith branches
+    eng.accept_set = ["https://host", "http://host"]
+    stats = []
+    while eng.emitted_count < cfg.max_docs:
+        st = eng.step()
+        if st is None:
+            break
+        stats.append(st)
+        if len(stats) >= 8:
+            break
+    crawl_s = time.monotonic() - t0
+    emitted = eng.emitted_count
+    timings["crawl_supersteps"] = round(crawl_s, 2)
+    extras["crawl_urls"] = emitted
+    extras["urls_per_sec"] = round(emitted / crawl_s, 1) if crawl_s > 0 else 0.0
+
+    # ---- bulk link extraction (Arrow UDF throughput) ----
+    t0 = time.monotonic()
+    n_links = (
+        pages_df.select(
+            F.explode(
+                entrymod.extract.extract_links_udf(
+                    "html", "url", "status", "content_type", "location"
+                )
+            ).alias("l")
+        ).count()
+    )
+    timings["extract_bulk"] = round(time.monotonic() - t0, 2)
+    extras["links_extracted"] = n_links
+    extras["pages_per_sec_extract"] = round(n_pages / timings["extract_bulk"], 1)
+
+    # ---- operator benches from the contract ----
+    for name in (
+        "minhash_signatures",
+        "lsh_pairs",
+        "simhash",
+        "cosine_topk",
+        "bfs_reachability",
+        "token_count",
+        "quality_score",
+        "dedup_exact",
+    ):
+        fn = entrymod.queries()[name]
+        t0 = time.monotonic()
+        fn(spark, SF_DIR).count()
+        timings[name] = round(time.monotonic() - t0, 2)
+
+    total = round(sum(timings.values()), 2)
+    out = {
+        "metric": "headline suite wall time (crawl engine + operators)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(SF_DIR),
+        "cpus": CPUS,
+        "corpus_pages": n_pages,
+        **extras,
+    }
+    print(json.dumps(out))
+    shutil.rmtree(state_root, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

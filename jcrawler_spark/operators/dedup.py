@@ -1,0 +1,201 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard.
+
+Everything here is pure Column expressions (JVM-side, whole-stage codegen,
+no Python UDFs) built on one shared 60-bit md5-derived hash so the DuckDB
+oracle can replicate results bit-for-bit:
+
+    Spark : conv(substr(md5(s),1,15), 16, 10)::long
+    DuckDB: ('0x'||substr(md5(s),1,15))::BIGINT
+
+Scale notes (100 TB): exact dedup is one shuffle on the content hash with
+map-side partial aggregation. MinHash/LSH turns near-dup detection from an
+O(n²) cross join into a groupBy on (band_id, band_hash) — each bucket is
+tiny, and the pair join inside buckets is data-local. SimHash gives a
+64→32-bit signature whose banded prefixes can be joined the same way. The
+Jaccard verify only runs on LSH candidate pairs, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash60(col: Column) -> Column:
+    """60-bit deterministic hash, oracle-replicable (see module doc)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    """The DuckDB-SQL form of hash60 for oracle queries."""
+    return f"(('0x'||substr(md5({expr}),1,15))::BIGINT)"
+
+
+def tokens_col(text: Column) -> Column:
+    return F.split(text, r"\s+")
+
+
+def shingles_col(text: Column, k: int) -> Column:
+    """Word k-gram shingles (space-joined); empty array when < k tokens."""
+    toks = tokens_col(text)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(text_expr: str, k: int) -> str:
+    """DuckDB equivalent of shingles_col (1-based inclusive list slices)."""
+    toks = f"string_split_regex({text_expr}, '\\s+')"
+    return (
+        f"[array_to_string({toks}[i:i+{k - 1}], ' ') "
+        f"for i in range(1, len({toks})-{k}+2)]"
+    )
+
+
+def minhash_col(shingles: Column, perm: int) -> Column:
+    """Min over shingles of hash60('{perm}:'||shingle); NULL for empty."""
+    return F.array_min(
+        F.transform(shingles, lambda s: hash60(F.concat(F.lit(f"{perm}:"), s)))
+    )
+
+
+def minhash_sql(shingles_expr: str, perm: int) -> str:
+    inner = hash60_sql(f"'{perm}:' || s")
+    return f"list_min([{inner} for s in {shingles_expr}])"
+
+
+def simhash_col(text: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: bit b is the sign of Σ±1 across token
+    hashes' bit b. Pure expressions; `bits` defaults to 32 to keep the
+    generated plan (and the SQL oracle) compact."""
+    toks = tokens_col(text)
+    hashes = F.transform(toks, lambda t: hash60(t))
+    out = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        out = out + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return out
+
+
+def simhash_sql(text_expr: str, bits: int = 32) -> str:
+    toks = f"string_split_regex({text_expr}, '\\s+')"
+    hashes = f"[{hash60_sql('t')} for t in {toks}]"
+    terms = []
+    for b in range(bits):
+        vote = (
+            f"list_sum([case when (h >> {b}) & 1 = 1 then 1 else -1 end "
+            f"for h in {hashes}])"
+        )
+        terms.append(f"(case when {vote} > 0 then {1 << b}::BIGINT else 0 end)")
+    return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# operators
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: one shuffle on the content hash; keeper = min id.
+    Returns (content_hash, keeper_id, n_copies) for groups with copies > 1."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).cast("long").alias("keeper_id"),
+            F.count("*").cast("long").alias("n_copies"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_perm: int = 8,
+) -> DataFrame:
+    """id + minhash signature columns mh0..mh{n-1} (NULL-safe: docs shorter
+    than k tokens hash the whole text)."""
+    sh = shingles_col(F.col(text_col), k)
+    sh = F.when(F.size(sh) > 0, sh).otherwise(F.array(F.col(text_col)))
+    out = df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+    for p in range(n_perm):
+        out = out.withColumn(f"mh{p}", minhash_col(F.col("sh"), p))
+    return out.drop("sh")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, n_perm: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature, bucket-join within (band, band_hash): the classic
+    MinHash-LSH candidate generation. Output (id_a, id_b) with id_a < id_b,
+    distinct."""
+    n_bands = n_perm // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sigs.select(
+                "id",
+                F.lit(b).alias("band"),
+                hash60(F.concat_ws(",", *[c.cast("string") for c in cols])).alias(
+                    "bh"
+                ),
+            )
+        )
+    all_bands = bands[0]
+    for b in bands[1:]:
+        all_bands = all_bands.unionByName(b)
+    left = all_bands.withColumnsRenamed({"id": "id_a"})
+    right = all_bands.withColumnsRenamed({"id": "id_b"})
+    return (
+        left.join(right, ["band", "bh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Jaccard similarity of word-k-gram sets for given (id_a, id_b) pairs —
+    the verify stage after LSH candidate generation. Broadcast-friendly:
+    docs' shingle arrays join twice on id."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles_col(F.col(text_col), k)).alias("sh"),
+    )
+    a = sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})
+    b = sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.when(union > 0, inter.cast("double") / union.cast("double"))
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+    )
