@@ -65,7 +65,8 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # ---- crawl superstep engine (the authoritative metric) ----
-    seeds = [corpus.url_of(i, n_hosts) for i in range(1000)]
+    n_seeds = max(1000, n_pages // 40)
+    seeds = [corpus.url_of(i, n_hosts) for i in range(n_seeds)]
     cfg = CrawlConfig(
         max_docs=min(40_000, n_pages),
         bloom_enabled=True,

@@ -66,6 +66,10 @@ class CrawlConfig:
     # sub-partitions before the fetch repartition (mega-host skew defusal)
     skew_salt_threshold: float = 0.05
     skew_salt_buckets: int = 16
+    # F6 ignored-domains side aggregate (A3); off saves one job per wave
+    track_ignored_domains: bool = True
+    # print per-phase superstep timings (diagnostics)
+    debug_timing: bool = False
     # Bloom seen-prefilter (exact anti-join still applied afterwards)
     bloom_enabled: bool = True
     bloom_shards: int = 8

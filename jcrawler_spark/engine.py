@@ -50,6 +50,7 @@ from jcrawler_spark.functions import generators, urlops
 from jcrawler_spark.operators import accept as accept_ops
 from jcrawler_spark.operators import bloom as bloom_ops
 from jcrawler_spark.operators import extract
+from jcrawler_spark.operators import rank as rank_ops
 from jcrawler_spark.plans.tableio import SnapshotStore
 
 # frontier/pending schema used internally (superset of schemas.FRONTIER)
@@ -146,6 +147,8 @@ class CrawlEngine:
         self.emitted_count = 0
         self.order_counter = 0
         self._pending_count = 0
+        self._any_host_errors = False
+        self._rank_cache: DataFrame | None = None
         self._bloom: bloom_ops.ShardedBloom | None = None
 
     # ------------------------------------------------------------------
@@ -212,6 +215,7 @@ class CrawlEngine:
             "emitted_count": self.emitted_count,
             "order_counter": self.order_counter,
             "pending_count": self._pending_count,
+            "any_host_errors": self._any_host_errors,
             "accept_set": self.accept_set,
         }
 
@@ -225,6 +229,7 @@ class CrawlEngine:
         self.emitted_count = c["emitted_count"]
         self.order_counter = c["order_counter"]
         self._pending_count = c.get("pending_count", 1 << 62)
+        self._any_host_errors = bool(c.get("any_host_errors", True))
         self.accept_set = list(c["accept_set"])
         blob = self.store.read_blob(last)
         self._bloom = bloom_ops.ShardedBloom.from_bytes(blob)
@@ -292,25 +297,27 @@ class CrawlEngine:
         t0 = time.monotonic()
         cfg = self.config
         s = self.superstep + 1
+
+        def _tick(label: str, since: list[float]) -> None:
+            if cfg.debug_timing:
+                now = time.monotonic()
+                print(f"    [step {s}] {label}: {now - since[0]:.2f}s")
+                since[0] = now
+
+        tick = [t0]
         pending = self.store.read("frontier")
         if pending is None:
             return None
 
         wave = self._select_wave(pending).persist()
         wave_n = wave.count()
+        _tick("wave select+count", tick)
         if wave_n == 0:
             wave.unpersist()
             return None
 
-        # ---- visited gate: wave is popped → seen & emitted now ----
-        emitted = wave.select(
-            "url", "url_hash", "depth", F.lit(s).alias("superstep"), "order_key", "path_key"
-        )
-        seen_delta = wave.select("url_hash", F.lit(s).alias("superstep"))
-
         # ---- gates at pop time (JCrawler.java:995-1003): accept re-check +
         # failing-host backoff (logical clock) ----
-        host_state = self.store.read("host_state")
         backoff_steps = max(
             1, cfg.failing_host_backoff_seconds // max(1, cfg.seconds_per_superstep)
         )
@@ -321,7 +328,10 @@ class CrawlEngine:
                 F.col("is_redirect"), self.accept_set, cfg.depth,
             ),
         )
-        if host_state is not None and host_state.head(1):
+        # reading the snapshot is lazy (metadata only); the broadcast gate
+        # join is only paid once any host has actually errored
+        host_state = self.store.read("host_state")
+        if host_state is not None and self._any_host_errors:
             hs = F.broadcast(host_state.select("host", "last_error_superstep"))
             gated = gated.join(hs, "host", "left").withColumn(
                 "gate_host",
@@ -332,23 +342,47 @@ class CrawlEngine:
             gated = gated.withColumn("gate_host", F.lit(True))
 
         to_fetch = gated.where(F.col("gate_accept") & F.col("gate_host"))
+        skipped = gated.where(~(F.col("gate_accept") & F.col("gate_host")))
 
         # ---- fetch (S8) ----
         fetched = self.fetcher.fetch(to_fetch).persist()
-        err_n = fetched.where(F.col("error").isNotNull()).count()
-        fetch_n = fetched.count()
 
-        # pages output delta (crawl result record per processed URL)
-        pages_delta = fetched.select(
-            "url",
-            "url_hash",
-            "host",
-            "status",
-            "content_type",
-            "location",
-            "error",
-            F.lit(s).alias("superstep"),
-            "order_key",
+        # lineage collect doubles as the count action (rows are ≤ #partitions)
+        lineage_rows = (
+            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(
+                F.count("*").alias("rows_in"),
+                F.count(F.when(F.col("error").isNull(), 1)).alias("fetched"),
+                F.count(F.when(F.col("error").isNotNull(), 1)).alias("errors"),
+            )
+            .collect()
+        )
+        fetch_n = sum(r["rows_in"] for r in lineage_rows)
+        err_n = sum(r["errors"] for r in lineage_rows)
+        _tick("fetch+lineage collect", tick)
+
+        # one consolidated wave-result delta: every popped URL (fetched or
+        # gate-skipped) — this IS the seen delta AND the emission record
+        page_cols = [
+            "url", "url_hash", "host", "depth", "order_key", "path_key",
+            "status", "content_type", "location", "error",
+        ]
+        pages_delta = (
+            fetched.select(
+                *page_cols, F.lit(False).alias("skipped"),
+                F.lit(s).alias("superstep"),
+            )
+            .unionByName(
+                skipped.select(
+                    "url", "url_hash", "host", "depth", "order_key", "path_key",
+                    F.lit(None).cast("int").alias("status"),
+                    F.lit(None).cast("string").alias("content_type"),
+                    F.lit(None).cast("string").alias("location"),
+                    F.lit(None).cast("string").alias("error"),
+                    F.lit(True).alias("skipped"),
+                    F.lit(s).alias("superstep"),
+                )
+            )
         )
 
         # ---- extraction (JCrawler.java:1395-1450): errors → no links ----
@@ -371,7 +405,6 @@ class CrawlEngine:
                 "src_order_key",
                 "src_path_key",
                 F.col("l.url").alias("url"),
-                F.col("l.text").alias("text"),
                 F.col("l.is_resource").alias("is_resource"),
                 F.col("l.is_redirect").alias("is_redirect"),
                 F.col("l.order_in_page").alias("order_in_page"),
@@ -391,13 +424,15 @@ class CrawlEngine:
             links.withColumn("depth", F.col("src_depth") + 1),
             self.accept_set,
             cfg.depth,
-        ).persist()
-        links_n = links.count()
-        ignored = (
-            links.where(F.col("ignored_domain").isNotNull())
-            .select(F.col("ignored_domain").alias("host"))
-            .distinct()
         )
+        ignored = None
+        if cfg.track_ignored_domains:
+            links = links.persist()
+            ignored = (
+                links.where(F.col("ignored_domain").isNotNull())
+                .select(F.col("ignored_domain").alias("host"))
+                .distinct()
+            )
 
         accepted = links.where(F.col("accepted"))
 
@@ -408,10 +443,10 @@ class CrawlEngine:
         accepted = accepted.withColumn("url_hash", urlops.url_hash_col(F.col("url")))
         is_dfs = cfg.traversal == TraversalType.DEPTH_FIRST_PREORDER
         if is_dfs:
-            seen_tbl = self.store.read("seen")
+            seen_tbl = self._seen_hashes()
             cand = accepted
             if seen_tbl is not None:
-                cand = cand.join(seen_tbl.select("url_hash"), "url_hash", "left_anti")
+                cand = cand.join(seen_tbl, "url_hash", "left_anti")
         else:
             w_wave = Window.partitionBy("url_hash").orderBy(
                 "src_order_key", "order_in_page"
@@ -421,29 +456,24 @@ class CrawlEngine:
                 .where(F.col("rn") == 1)
                 .drop("rn")
             )
+            seen_tbl = self._seen_hashes()
             if cfg.bloom_enabled and self._bloom is not None:
                 cand = bloom_ops.prefilter_unseen(self.spark, cand, self._bloom)
                 maybe = cand.where(F.col("maybe_seen")).drop("maybe_seen")
                 fresh = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
-                seen_tbl = self.store.read("seen")
                 if seen_tbl is not None:
-                    maybe = maybe.join(
-                        seen_tbl.select("url_hash"), "url_hash", "left_anti"
-                    )
+                    maybe = maybe.join(seen_tbl, "url_hash", "left_anti")
                 cand = fresh.unionByName(maybe)
             else:
-                seen_tbl = self.store.read("seen")
                 if seen_tbl is not None:
-                    cand = cand.join(
-                        seen_tbl.select("url_hash"), "url_hash", "left_anti"
-                    )
+                    cand = cand.join(seen_tbl, "url_hash", "left_anti")
             # not already pending (horizonSet gate,
             # ParallelGraphTraverser.java:96-105); wave ⊆ seen this superstep
             cand = cand.join(pending.select("url_hash"), "url_hash", "left_anti")
 
         # ---- deterministic rank → order_key/path_key for new rows ----
-        new_rows = self._rank_new(cand, s).persist()
-        new_n = new_rows.count()
+        new_rows, new_n = self._rank_new(cand, s)
+        _tick("rank new frontier", tick)
         self.order_counter += new_n
 
         # ---- next pending snapshot ----
@@ -475,27 +505,9 @@ class CrawlEngine:
             )
         )
 
-        # ---- lineage (per-partition metrics) ----
-        lineage = (
-            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
-            .agg(
-                F.count("*").alias("rows_in"),
-                F.count(F.when(F.col("error").isNull(), 1)).alias("fetched"),
-                F.count(F.when(F.col("error").isNotNull(), 1)).alias("errors"),
-            )
-            .select(
-                F.lit(s).alias("superstep"),
-                "partition_id",
-                F.col("rows_in").cast("long"),
-                F.lit(links_n).cast("long").alias("rows_out"),
-                F.col("fetched").cast("long"),
-                F.col("errors").cast("long"),
-                F.lit(int((time.monotonic() - t0) * 1000)).cast("long").alias("wall_ms"),
-            )
-        )
-
         # ---- update Bloom with this wave's hashes (distributed bitmap build) ----
         if cfg.bloom_enabled and self._bloom is not None:
+            _tick("pre-bloom", tick)
             incs = bloom_ops.build_shard_increments(
                 wave.select("url_hash"),
                 self._bloom.n_shards,
@@ -505,30 +517,47 @@ class CrawlEngine:
             for shard, bitmap in incs:
                 self._bloom.merge_shard(shard, bitmap)
 
+        # ---- lineage from the already-collected per-partition rows ----
+        wall_ms = int((time.monotonic() - t0) * 1000)
+        lineage = self.spark.createDataFrame(
+            [
+                (
+                    s, int(r["partition_id"]), int(r["rows_in"]), int(new_n),
+                    int(r["fetched"]), int(r["errors"]), wall_ms,
+                )
+                for r in lineage_rows
+            ],
+            schema=schemas.LINEAGE,
+        )
+
         # ---- atomic commit ----
         self.emitted_count += wave_n
-        self.store.stage_append("emitted", emitted, s)
-        self.store.stage_append("seen", seen_delta, s)
-        self.store.stage_append("pages", pages_delta, s)
-        self.store.stage_append(
-            "ignored_domains", ignored.withColumn("superstep", F.lit(s)), s
+        if err_n > 0:
+            self._any_host_errors = True
+        appends = {"pages": pages_delta, "lineage": lineage}
+        if ignored is not None:
+            appends["ignored_domains"] = ignored.withColumn("superstep", F.lit(s))
+        self.store.stage_all(
+            s, appends, {"frontier": next_pending, "host_state": next_hs}
         )
-        self.store.stage_append("lineage", lineage, s)
-        self.store.stage_snapshot("frontier", next_pending, s)
-        self.store.stage_snapshot("host_state", next_hs, s)
         if self._bloom is not None:
             self.store.stage_blob("bloom", self._bloom.to_bytes(), s)
         self.store.commit(s, self._counters())
+        _tick("writes+commit", tick)
         self.superstep = s
 
-        pending_left = self.store.read("frontier").count()
+        if is_dfs:
+            pending_left = self.store.read("frontier").count()
+        else:
+            # exact: wave ⊆ pending (by hash), new rows disjoint from pending
+            pending_left = self._pending_count - wave_n + new_n
         self._pending_count = pending_left
         stats = StepStats(
             superstep=s,
             wave=wave_n,
             fetched=fetch_n,
             errors=err_n,
-            links=links_n,
+            links=-1,
             new_frontier=new_n,
             emitted_total=self.emitted_count,
             pending_left=pending_left,
@@ -536,26 +565,31 @@ class CrawlEngine:
         )
         wave.unpersist()
         fetched.unpersist()
-        links.unpersist()
-        new_rows.unpersist()
+        if ignored is not None:
+            links.unpersist()
+        if self._rank_cache is not None:
+            self._rank_cache.unpersist()
+            self._rank_cache = None
         return stats
 
-    def _rank_new(self, cand: DataFrame, s: int) -> DataFrame:
-        """Deterministic global rank of newly discovered URLs by
-        (parent order, in-page order): distributed sort + zipWithIndex —
-        no single-partition window, scales with executors."""
+    def _seen_hashes(self) -> DataFrame | None:
+        """The visited-set hashes = every wave-result row ever committed."""
+        df = self.store.read("pages")
+        return None if df is None else df.select("url_hash")
+
+    def _rank_new(self, cand: DataFrame, s: int) -> tuple[DataFrame, int]:
+        """Deterministic FIFO order_keys for newly discovered URLs by
+        (parent order, in-page order): range-partitioned Arrow rank
+        (operators/rank.py) — no single-partition window, no per-row
+        Python, scales with executors."""
         base = self.order_counter
-        sorted_df = cand.orderBy("src_order_key", "order_in_page", "url")
-        schema = sorted_df.schema
-        ranked = sorted_df.rdd.zipWithIndex().map(lambda t: (*t[0], t[1]))
-        out_schema = T.StructType(
-            list(schema.fields) + [T.StructField("rank", T.LongType())]
+        ranked, total, cache = rank_ops.with_global_rank(
+            cand, ["src_order_key", "order_in_page", "url"], out_col="rank"
         )
-        df = self.spark.createDataFrame(ranked, schema=out_schema)
-        # per-page sibling rank for the DFS path key
-        w_sib = Window.partitionBy("src_url").orderBy("order_in_page")
-        df = df.withColumn("sib", F.row_number().over(w_sib) - 1)
-        return df.select(
+        if self._rank_cache is not None:
+            self._rank_cache.unpersist()
+        self._rank_cache = cache
+        df = ranked.select(
             "url",
             "url_hash",
             urlops.host_col(F.col("url")).alias("host"),
@@ -566,10 +600,15 @@ class CrawlEngine:
             "src_url",
             F.lit(s).alias("superstep"),
             (F.lit(base) + F.col("rank")).cast("long").alias("order_key"),
+            # sibling order via in-page position (unique per parent after
+            # the per-page dedup; monotone == dense, so DFS order is exact)
             F.concat(
-                F.col("src_path_key"), F.lit("/"), F.format_string("%08x", F.col("sib"))
+                F.col("src_path_key"),
+                F.lit("/"),
+                F.format_string("%08x", F.col("order_in_page")),
             ).alias("path_key"),
         )
+        return df, total
 
     # ------------------------------------------------------------------
     # run loop + outputs
@@ -595,7 +634,7 @@ class CrawlEngine:
     def emitted(self) -> DataFrame:
         """The crawl emission in deterministic order (T8): the reference's
         visitedOrder queue as a table."""
-        df = self.store.read("emitted")
+        df = self.store.read("pages")
         if df is None:
             return self.spark.createDataFrame([], schema=schemas.EMITTED)
         if self.config.traversal == TraversalType.DEPTH_FIRST_PREORDER:

@@ -32,11 +32,13 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 
-APPEND_TABLES = ("seen", "pages", "emitted", "lineage", "ignored_domains")
+APPEND_TABLES = ("pages", "lineage", "ignored_domains")
 SNAP_TABLES = ("host_state", "frontier")
 
 
@@ -46,6 +48,7 @@ class SnapshotStore:
         self.spark = spark
         os.makedirs(os.path.join(root, "checkpoints"), exist_ok=True)
         self._staged: dict[str, list[str]] = {}
+        self._lock = threading.Lock()
 
     # ---- commit log ----
 
@@ -74,13 +77,15 @@ class SnapshotStore:
         """Write a delta file set for `table`; visible only after commit."""
         rel = os.path.join(table, f"delta-{superstep:08d}-{uuid.uuid4().hex[:8]}.parquet")
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
-        self._staged.setdefault(table, []).append(rel)
+        with self._lock:
+            self._staged.setdefault(table, []).append(rel)
 
     def stage_snapshot(self, table: str, df: DataFrame, superstep: int) -> None:
         """Full-rewrite table (small dimension state, e.g. host_state)."""
         rel = os.path.join(table, f"snap-{superstep:08d}.parquet")
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
-        self._staged.setdefault(table, []).append(rel)
+        with self._lock:
+            self._staged.setdefault(table, []).append(rel)
 
     def stage_blob(self, name: str, payload: bytes, superstep: int) -> str:
         """Binary sidecar (Bloom shards). Returns the relative path."""
@@ -91,8 +96,25 @@ class SnapshotStore:
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, path)
-        self._staged.setdefault("__blobs__", []).append(rel)
+        with self._lock:
+            self._staged.setdefault("__blobs__", []).append(rel)
         return rel
+
+    def stage_all(self, superstep: int, appends: dict[str, DataFrame],
+                  snapshots: dict[str, DataFrame]) -> None:
+        """Stage several table writes CONCURRENTLY (independent Spark jobs
+        share the cluster; serial staging leaves executors idle between
+        small writes). Visibility still gated by the single commit()."""
+        with ThreadPoolExecutor(max_workers=max(1, len(appends) + len(snapshots))) as ex:
+            futs = [
+                ex.submit(self.stage_append, t, df, superstep)
+                for t, df in appends.items()
+            ] + [
+                ex.submit(self.stage_snapshot, t, df, superstep)
+                for t, df in snapshots.items()
+            ]
+            for f in futs:
+                f.result()
 
     def commit(self, superstep: int, counters: dict | None = None) -> None:
         """Atomic superstep commit: carry forward the previous manifest's
