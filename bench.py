@@ -34,6 +34,14 @@ from jcrawler_spark.session import get_spark  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 PAGES_PER_DOC = int(os.environ.get("SPARK_GRAFT_PAGES_PER_DOC", "20"))
+# crawl-only mode + reusable corpus dir: the BENCH/BASELINE.md scaling
+# protocol runs the identical crawl at two parallelism levels on the SAME
+# generated input
+CRAWL_ONLY = os.environ.get("SPARK_GRAFT_CRAWL_ONLY", "") == "1"
+CORPUS_DIR = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "")
+# ~0.5 KB pages at 1 (unit-test scale); ~12 KB at 25 (realistic web pages,
+# the compute-bound regime the scaling protocol measures)
+BODY_REPEAT = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "1"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -56,8 +64,19 @@ def main() -> None:
 
     # ---- setup (untimed): corpus + warm-up ----
     state_root = tempfile.mkdtemp(prefix="jcrawler-bench-")
-    corpus_path = os.path.join(state_root, "pages")
-    corpus.write_pages(spark, corpus_path, n_pages, n_hosts, partitions=CPUS * 2)
+    if CORPUS_DIR:
+        corpus_path = os.path.join(CORPUS_DIR, f"pages-{n_pages}-b{BODY_REPEAT}")
+        if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+            corpus.write_pages(
+                spark, corpus_path, n_pages, n_hosts,
+                partitions=CPUS * 2, body_repeat=BODY_REPEAT,
+            )
+    else:
+        corpus_path = os.path.join(state_root, "pages")
+        corpus.write_pages(
+            spark, corpus_path, n_pages, n_hosts,
+            partitions=CPUS * 2, body_repeat=BODY_REPEAT,
+        )
     pages_df = spark.read.parquet(corpus_path)
     pages_df.count()  # warm the page cache / JIT
 
@@ -68,7 +87,9 @@ def main() -> None:
     n_seeds = max(1000, n_pages // 40)
     seeds = [corpus.url_of(i, n_hosts) for i in range(n_seeds)]
     cfg = CrawlConfig(
-        max_docs=min(40_000, n_pages),
+        max_docs=min(
+            int(os.environ.get("SPARK_GRAFT_MAX_DOCS", "40000")), n_pages
+        ),
         bloom_enabled=True,
         bloom_shards=16,
     )
@@ -110,7 +131,7 @@ def main() -> None:
     extras["pages_per_sec_extract"] = round(n_pages / timings["extract_bulk"], 1)
 
     # ---- operator benches from the contract ----
-    for name in (
+    op_names = () if CRAWL_ONLY else (
         "minhash_signatures",
         "lsh_pairs",
         "simhash",
@@ -119,7 +140,8 @@ def main() -> None:
         "token_count",
         "quality_score",
         "dedup_exact",
-    ):
+    )
+    for name in op_names:
         fn = entrymod.queries()[name]
         t0 = time.monotonic()
         fn(spark, SF_DIR).count()

@@ -107,9 +107,14 @@ def child_ids(i: int, n_pages: int) -> list[int]:
     return [i * K_FANOUT + j for j in range(1, K_FANOUT + 1) if i * K_FANOUT + j < n_pages]
 
 
-def page_record(i: int, n_pages: int, n_hosts: int) -> dict:
+def page_record(i: int, n_pages: int, n_hosts: int, body_repeat: int = 1) -> dict:
     """One deterministic pages-table row. Pure — shared by the Spark
-    generator and the pure-Python crawl oracle."""
+    generator and the pure-Python crawl oracle.
+
+    body_repeat multiplies the body text block (1 ≈ 0.5 KB pages for unit
+    tests; ~25 ≈ 12 KB pages approximating real web pages for the scaling
+    benchmark — extraction cost per page then dominates superstep
+    overhead, which is the regime a real crawl runs in)."""
     h = host_of(i, n_hosts)
     url = url_of(i, n_hosts)
     status = status_of(i)
@@ -136,10 +141,14 @@ def page_record(i: int, n_pages: int, n_hosts: int) -> dict:
             )
         sent = _RO_SENT if lang == "ro" else _EN_SENT
         frag = _FRAGMENTS[i % len(_FRAGMENTS)].format(h=h, v=i % 20)
+        body = "\n".join(
+            f"<p>{sent} — page {i} depth {depth_of(i)} block {b}</p>"
+            for b in range(body_repeat)
+        )
         html_str = (
             f"<html><head><title>Page {i}</title></head><body>\n"
             f"<h1>Page {i} on host{h}</h1>\n"
-            f"<p>{sent} — page {i} depth {depth_of(i)}</p>\n"
+            f"{body}\n"
             + "\n".join(links)
             + "\n"
             + frag
@@ -169,14 +178,21 @@ def local_pages(n_pages: int, n_hosts: int = 8) -> list[dict]:
 
 
 def build_pages_df(
-    spark: SparkSession, n_pages: int, n_hosts: int = 8, partitions: int | None = None
+    spark: SparkSession,
+    n_pages: int,
+    n_hosts: int = 8,
+    partitions: int | None = None,
+    body_repeat: int = 1,
 ) -> DataFrame:
     """Distributed corpus build: spark.range → Arrow-batched mapInPandas.
     Scales linearly with executors; no driver loop."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = [page_record(int(i), n_pages, n_hosts) for i in b["id"]]
+            rows = [
+                page_record(int(i), n_pages, n_hosts, body_repeat)
+                for i in b["id"]
+            ]
             yield pd.DataFrame(rows)
 
     rng = spark.range(n_pages)
@@ -191,7 +207,8 @@ def write_pages(
     n_pages: int,
     n_hosts: int = 8,
     partitions: int | None = None,
+    body_repeat: int = 1,
 ) -> None:
-    build_pages_df(spark, n_pages, n_hosts, partitions).write.mode(
+    build_pages_df(spark, n_pages, n_hosts, partitions, body_repeat).write.mode(
         "overwrite"
     ).parquet(path)

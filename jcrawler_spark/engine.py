@@ -40,7 +40,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, Row, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, Row, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -305,16 +305,25 @@ class CrawlEngine:
                 since[0] = now
 
         tick = [t0]
+        is_dfs = cfg.traversal == TraversalType.DEPTH_FIRST_PREORDER
         pending = self.store.read("frontier")
         if pending is None:
             return None
+        # BFS tracks the pending count exactly — empty frontier needs no job.
+        # (DFS pending can hold only already-seen rediscoveries, so it must
+        # probe with a real count.)
+        if not is_dfs and self._pending_count == 0:
+            return None
 
         wave = self._select_wave(pending).persist()
-        wave_n = wave.count()
-        _tick("wave select+count", tick)
-        if wave_n == 0:
-            wave.unpersist()
-            return None
+        if is_dfs:
+            wave_n = wave.count()
+            if wave_n == 0:
+                wave.unpersist()
+                return None
+        else:
+            wave_n = -1  # filled from the write-time observation below
+        _tick("wave select", tick)
 
         # ---- gates at pop time (JCrawler.java:995-1003): accept re-check +
         # failing-host backoff (logical clock) ----
@@ -385,39 +394,30 @@ class CrawlEngine:
             )
         )
 
-        # ---- extraction (JCrawler.java:1395-1450): errors → no links ----
+        # ---- extraction (JCrawler.java:1395-1450): errors → no links.
+        # Self-filter (F8) + per-page first-wins dedup (A1) run inside the
+        # Arrow batch (JCrawler.java:1233-1238) — no shuffle needed: the
+        # whole page's link list is local to the UDF call. ----
         links_src = fetched.where(F.col("error").isNull())
-        links = (
-            links_src.select(
-                F.col("url").alias("src_url"),
-                F.col("depth").alias("src_depth"),
-                F.col("order_key").alias("src_order_key"),
-                F.col("path_key").alias("src_path_key"),
-                F.explode(
-                    extract.extract_links_udf(
-                        "html", "url", "status", "content_type", "location"
-                    )
-                ).alias("l"),
-            )
-            .select(
-                "src_url",
-                "src_depth",
-                "src_order_key",
-                "src_path_key",
-                F.col("l.url").alias("url"),
-                F.col("l.is_resource").alias("is_resource"),
-                F.col("l.is_redirect").alias("is_redirect"),
-                F.col("l.order_in_page").alias("order_in_page"),
-            )
-            # F8 self-filter (JCrawler.java:1233-1235)
-            .where(F.col("url") != F.col("src_url"))
-        )
-        # A1 per-page first-wins dedup (JCrawler.java:1236-1238)
-        w_page = Window.partitionBy("src_url", "url").orderBy("order_in_page")
-        links = (
-            links.withColumn("rn", F.row_number().over(w_page))
-            .where(F.col("rn") == 1)
-            .drop("rn")
+        links = links_src.select(
+            F.col("url").alias("src_url"),
+            F.col("depth").alias("src_depth"),
+            F.col("order_key").alias("src_order_key"),
+            F.col("path_key").alias("src_path_key"),
+            F.explode(
+                extract.extract_links_dedup_udf(
+                    "html", "url", "status", "content_type", "location"
+                )
+            ).alias("l"),
+        ).select(
+            "src_url",
+            "src_depth",
+            "src_order_key",
+            "src_path_key",
+            F.col("l.url").alias("url"),
+            F.col("l.is_resource").alias("is_resource"),
+            F.col("l.is_redirect").alias("is_redirect"),
+            F.col("l.order_in_page").alias("order_in_page"),
         )
         # accept filter on successors (JCrawler.java:1239-1244) + F6 side-output
         links = accept_ops.with_accept(
@@ -441,7 +441,6 @@ class CrawlEngine:
         # DFS preorder skips the horizon gates: it dedups at visit time
         # (Guava preorder semantics), so rediscoveries stay pending.
         accepted = accepted.withColumn("url_hash", urlops.url_hash_col(F.col("url")))
-        is_dfs = cfg.traversal == TraversalType.DEPTH_FIRST_PREORDER
         if is_dfs:
             seen_tbl = self._seen_hashes()
             cand = accepted
@@ -531,15 +530,19 @@ class CrawlEngine:
         )
 
         # ---- atomic commit ----
-        self.emitted_count += wave_n
         if err_n > 0:
             self._any_host_errors = True
+        obs = Observation(f"wave-{s}")
+        pages_delta = pages_delta.observe(obs, F.count(F.lit(1)).alias("n"))
         appends = {"pages": pages_delta, "lineage": lineage}
         if ignored is not None:
             appends["ignored_domains"] = ignored.withColumn("superstep", F.lit(s))
         self.store.stage_all(
             s, appends, {"frontier": next_pending, "host_state": next_hs}
         )
+        if wave_n < 0:
+            wave_n = int(obs.get["n"])  # free: observed during the write job
+        self.emitted_count += wave_n
         if self._bloom is not None:
             self.store.stage_blob("bloom", self._bloom.to_bytes(), s)
         self.store.commit(s, self._counters())

@@ -294,14 +294,7 @@ def redirect_link(
 # ---------------------------------------------------------------------------
 
 
-@F.pandas_udf(schemas.LINKS_ARRAY)
-def extract_links_udf(
-    html: pd.Series, url: pd.Series, status: pd.Series, content_type: pd.Series,
-    location: pd.Series,
-) -> pd.Series:
-    """Vectorized link extraction over an Arrow batch of pages. Returns the
-    full ordered link array per page (content links if the page is
-    extractable, plus the redirect pseudo-link for 3xx)."""
+def _extract_batch(html, url, status, content_type, location, dedup: bool):
     out = []
     for h, u, st, ct, loc in zip(html, url, status, content_type, location):
         st = int(st) if st is not None and not pd.isna(st) else None
@@ -314,5 +307,38 @@ def extract_links_udf(
             r = dict(r)
             r["order_in_page"] = len(rows)
             rows.append(r)
+        if dedup:
+            # self-filter + per-page first-wins dedup IN the batch
+            # (JCrawler.java:1233-1238) — removes a full shuffle+window from
+            # the engine's wave pipeline; semantics identical
+            seen: set[str] = set()
+            deduped = []
+            for row in rows:
+                if row["url"] == u or row["url"] in seen:
+                    continue
+                seen.add(row["url"])
+                deduped.append(row)
+            rows = deduped
         out.append(rows)
     return pd.Series(out)
+
+
+@F.pandas_udf(schemas.LINKS_ARRAY)
+def extract_links_udf(
+    html: pd.Series, url: pd.Series, status: pd.Series, content_type: pd.Series,
+    location: pd.Series,
+) -> pd.Series:
+    """Vectorized link extraction over an Arrow batch of pages. Returns the
+    full ordered link array per page (content links if the page is
+    extractable, plus the redirect pseudo-link for 3xx)."""
+    return _extract_batch(html, url, status, content_type, location, dedup=False)
+
+
+@F.pandas_udf(schemas.LINKS_ARRAY)
+def extract_links_dedup_udf(
+    html: pd.Series, url: pd.Series, status: pd.Series, content_type: pd.Series,
+    location: pd.Series,
+) -> pd.Series:
+    """extract_links_udf + self-filter + per-page first-occurrence dedup
+    (the successor pipeline of JCrawler.java:1233-1238) done batch-side."""
+    return _extract_batch(html, url, status, content_type, location, dedup=True)

@@ -36,6 +36,10 @@ def with_global_rank(
     callers unpersist it once downstream consumers are done."""
     spark = df.sparkSession
     npart = num_partitions or spark.sparkContext.defaultParallelism
+    # cache the input: repartitionByRange runs a SAMPLING pass before the
+    # shuffle — without this the (often expensive) upstream pipeline would
+    # evaluate twice
+    df = df.persist()
     # bake the partition id into the cached rows: TaskContext.partitionId()
     # is only stable within one consuming stage (a later union/join renumbers
     # partitions), but a column captured at cache time is plan-independent
@@ -46,6 +50,7 @@ def with_global_rank(
         .persist()
     )
     counts = parted.groupBy("__pid").count().collect()
+    df.unpersist()  # parted is materialized now; the input cache is done
     counts.sort(key=lambda r: r["__pid"])
     offsets: dict[int, int] = {}
     total = 0

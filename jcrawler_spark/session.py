@@ -47,9 +47,14 @@ def get_spark(
             shuffle_partitions = 2 * int(master[6:-1])
         else:
             shuffle_partitions = 2 * cores
+    # local mode: one JVM holds driver + all executor threads — size it for
+    # the machine (override with JCRAWLER_DRIVER_MEM)
+    driver_mem = os.environ.get("JCRAWLER_DRIVER_MEM", "48g")
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.maxResultSize", "4g")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
