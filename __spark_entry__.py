@@ -555,6 +555,43 @@ FROM (
 """
 
 
+def q_localize_join(spark, sf_dir):
+    """J1 URL→file localization join (Rewriter.java:363-409): every page's
+    outgoing ref looked up in the broadcast url→path map."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    d = F.col("doc_id")
+    url = F.concat(F.lit("https://m.example/p/"), d.cast("string"))
+    path = F.concat(F.lit("m.example/p/"), d.cast("string"), F.lit(".html"))
+    pages = docs.select(url.alias("t_url"), path.alias("path"))
+    refs = docs.select(
+        url.alias("src_url"),
+        F.concat(
+            F.lit("https://m.example/p/"), (((d * 3) + 1) % n).cast("string")
+        ).alias("ref_url"),
+    )
+    return refs.join(
+        F.broadcast(pages), refs["ref_url"] == pages["t_url"], "left"
+    ).select("src_url", "ref_url", F.col("path").alias("local_path"))
+
+
+_LOCALIZE_SQL = """
+WITH pages AS (
+  SELECT 'https://m.example/p/' || doc_id AS t_url,
+         'm.example/p/' || doc_id || '.html' AS path
+  FROM documents
+),
+refs AS (
+  SELECT 'https://m.example/p/' || doc_id AS src_url,
+         'https://m.example/p/' ||
+           (((doc_id*3)+1) % (SELECT count(*) FROM documents)) AS ref_url
+  FROM documents
+)
+SELECT r.src_url, r.ref_url, p.path AS local_path
+FROM refs r LEFT JOIN pages p ON r.ref_url = p.t_url
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data dedup family
 # ---------------------------------------------------------------------------
@@ -940,6 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "failing_host_gate": q_failing_host_gate,
         "bfs_reachability": q_bfs_reachability,
         "content_path_final": q_content_path_final,
+        "localize_join": q_localize_join,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
@@ -973,6 +1011,7 @@ def oracle_sql() -> dict[str, str]:
         "failing_host_gate": _FAILING_GATE_SQL,
         "bfs_reachability": _BFS_SQL,
         "content_path_final": _CPF_SQL,
+        "localize_join": _LOCALIZE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,
         "minhash_signatures": _MINHASH_SQL,
         "lsh_pairs": _LSH_PAIRS_SQL,

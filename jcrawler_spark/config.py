@@ -60,8 +60,11 @@ class CrawlConfig:
     # enforce robots.txt Disallow rules discovered on each host. Default off
     # for reference-equivalence (reference does not enforce; README.md:208).
     enforce_robots: bool = False
-    # enforce per-host crawl delay via host_state.crawl_delay_ms
+    # enforce per-host crawl delay: a host fetched at logical time t is not
+    # fetched again before t + crawl_delay_seconds (rows DEFER, staying
+    # pending — unlike the failing-host gate, which consumes)
     enforce_crawl_delay: bool = False
+    crawl_delay_seconds: int = 1
     # hosts holding more than this fraction of a wave get salted into
     # sub-partitions before the fetch repartition (mega-host skew defusal)
     skew_salt_threshold: float = 0.05

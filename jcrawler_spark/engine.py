@@ -207,6 +207,11 @@ class CrawlEngine:
                 T.StructField("host", T.StringType(), False),
                 T.StructField("last_fetch_superstep", T.IntegerType(), True),
                 T.StructField("last_error_superstep", T.IntegerType(), True),
+                # robots.txt Disallow rules discovered for this host
+                # (resolved absolute URL prefixes)
+                T.StructField(
+                    "robots_disallow", T.ArrayType(T.StringType()), True
+                ),
             ]
         )
 
@@ -255,6 +260,29 @@ class CrawlEngine:
             seen_tbl = self.store.read("seen")
             if seen_tbl is not None:
                 cand = cand.join(seen_tbl.select("url_hash"), "url_hash", "left_anti")
+
+        # per-host crawl-delay (north rule, opt-in): a host fetched at
+        # logical time t is DEFERRED — rows stay pending, not consumed —
+        # until t + crawl_delay. Unlike the reference's failing-host gate
+        # (which consumes, JCrawler.java:1000-1003), this is a scheduling
+        # window, so it lives in wave selection.
+        if cfg.enforce_crawl_delay:
+            hs = self.store.read("host_state")
+            if hs is not None:
+                s = self.superstep + 1
+                delay_steps = max(
+                    1,
+                    -(-cfg.crawl_delay_seconds // max(1, cfg.seconds_per_superstep)),
+                )
+                hsf = F.broadcast(hs.select("host", "last_fetch_superstep"))
+                cand = (
+                    cand.join(hsf, "host", "left")
+                    .where(
+                        F.col("last_fetch_superstep").isNull()
+                        | (F.lit(s) - F.col("last_fetch_superstep") >= delay_steps)
+                    )
+                    .drop("last_fetch_superstep")
+                )
 
         # F7 failing-host gate (logical clock): skip hosts errored within
         # backoff. Skipped rows are consumed like the reference (the visited
@@ -350,8 +378,32 @@ class CrawlEngine:
         else:
             gated = gated.withColumn("gate_host", F.lit(True))
 
-        to_fetch = gated.where(F.col("gate_accept") & F.col("gate_host"))
-        skipped = gated.where(~(F.col("gate_accept") & F.col("gate_host")))
+        # robots enforcement (north rule, opt-in — the reference extracts
+        # robots directives as links but never enforces them, README.md:208):
+        # a URL matching one of its host's discovered Disallow prefixes is
+        # consumed without fetching
+        if cfg.enforce_robots and host_state is not None:
+            hr = F.broadcast(
+                host_state.where(F.col("robots_disallow").isNotNull()).select(
+                    "host", "robots_disallow"
+                )
+            )
+            gated = gated.join(hr, "host", "left").withColumn(
+                "gate_robots",
+                F.col("robots_disallow").isNull()
+                | ~F.exists(
+                    F.col("robots_disallow"),
+                    lambda r: F.col("url").startswith(r),
+                ),
+            ).drop("robots_disallow")
+        else:
+            gated = gated.withColumn("gate_robots", F.lit(True))
+
+        gate_ok = (
+            F.col("gate_accept") & F.col("gate_host") & F.col("gate_robots")
+        )
+        to_fetch = gated.where(gate_ok)
+        skipped = gated.where(~gate_ok)
 
         # ---- fetch (S8) ----
         fetched = self.fetcher.fetch(to_fetch).persist()
@@ -415,6 +467,7 @@ class CrawlEngine:
             "src_order_key",
             "src_path_key",
             F.col("l.url").alias("url"),
+            F.col("l.text").alias("text"),
             F.col("l.is_resource").alias("is_resource"),
             F.col("l.is_redirect").alias("is_redirect"),
             F.col("l.order_in_page").alias("order_in_page"),
@@ -483,25 +536,46 @@ class CrawlEngine:
 
         # ---- host_state update (logical clock) ----
         fetch_hosts = fetched.groupBy("host").agg(
-            F.max(F.when(F.col("error").isNull(), F.lit(s))).alias("f"),
-            F.max(F.when(F.col("error").isNotNull(), F.lit(s))).alias("e"),
+            F.max(F.when(F.col("error").isNull(), F.lit(s))).alias(
+                "last_fetch_superstep"
+            ),
+            F.max(F.when(F.col("error").isNotNull(), F.lit(s))).alias(
+                "last_error_superstep"
+            ),
+        ).withColumn(
+            "robots_disallow", F.lit(None).cast(T.ArrayType(T.StringType()))
         )
         prev_hs = host_state if host_state is not None else self.spark.createDataFrame(
             [], schema=self._host_state_schema()
         )
-        next_hs = (
-            prev_hs.unionByName(
-                fetch_hosts.select(
+        legs = prev_hs.unionByName(fetch_hosts)
+        if cfg.enforce_robots:
+            # harvest newly discovered Disallow rules (robotsTxtExp links,
+            # JCrawler.java:362-365) for the host the rule URL points at
+            robot_rules = (
+                links.where(F.col("text") == "Disallow")
+                .withColumn("host_rule", urlops.host_col(F.col("url")))
+                .where(F.col("host_rule").isNotNull())
+            )
+            rules_leg = (
+                robot_rules.groupBy(F.col("host_rule").alias("host"))
+                .agg(F.collect_set("url").alias("robots_disallow"))
+                .select(
                     "host",
-                    F.col("f").alias("last_fetch_superstep"),
-                    F.col("e").alias("last_error_superstep"),
+                    F.lit(None).cast("int").alias("last_fetch_superstep"),
+                    F.lit(None).cast("int").alias("last_error_superstep"),
+                    "robots_disallow",
                 )
             )
-            .groupBy("host")
-            .agg(
-                F.max("last_fetch_superstep").alias("last_fetch_superstep"),
-                F.max("last_error_superstep").alias("last_error_superstep"),
-            )
+            legs = legs.unionByName(rules_leg)
+        next_hs = legs.groupBy("host").agg(
+            F.max("last_fetch_superstep").alias("last_fetch_superstep"),
+            F.max("last_error_superstep").alias("last_error_superstep"),
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.coalesce("robots_disallow", F.array()))
+                )
+            ).alias("robots_disallow"),
         )
 
         # ---- update Bloom with this wave's hashes (distributed bitmap build) ----

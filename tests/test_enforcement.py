@@ -1,0 +1,68 @@
+"""North-rule politeness enforcement (opt-in; reference-divergent by design,
+DIVERGENCES.md #6): robots.txt Disallow gating and per-host crawl delay."""
+
+from __future__ import annotations
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from jcrawler_spark import corpus
+from jcrawler_spark.config import CrawlConfig
+from jcrawler_spark.engine import CrawlEngine, SyntheticFetcher
+
+N, H = 120, 8
+ACCEPTS = [f"host{i}.example" for i in range(H)]
+
+
+def _run(spark, tmp_path, name, **cfg_kwargs):
+    pages = corpus.build_pages_df(spark, N, H, partitions=4)
+    cfg = CrawlConfig(accept=ACCEPTS, max_docs=500, **cfg_kwargs)
+    root = str(tmp_path / name)
+    shutil.rmtree(root, ignore_errors=True)
+    eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages), root)
+    stats = eng.run(seeds=[corpus.url_of(0, H)], max_supersteps=60)
+    return eng, stats
+
+
+def test_robots_disallow_enforced(spark, tmp_path):
+    eng_off, _ = _run(spark, tmp_path, "off", enforce_robots=False)
+    eng_on, _ = _run(spark, tmp_path, "on", enforce_robots=True)
+
+    pages_off = eng_off.store.read("pages")
+    pages_on = eng_on.store.read("pages")
+    priv_off = pages_off.where(F.col("url").contains("/private")).collect()
+    priv_on = pages_on.where(F.col("url").contains("/private")).collect()
+    assert priv_off, "corpus should discover /private URLs via robots links"
+    # without enforcement the disallowed URLs are fetched (404s, status set)
+    assert all(not r["skipped"] and r["status"] is not None for r in priv_off)
+    # with enforcement they are consumed without fetching
+    assert priv_on, "disallowed URLs still get popped (and recorded)"
+    assert all(r["skipped"] and r["status"] is None for r in priv_on)
+    # enforcement changes nothing else: same visited URL set
+    assert eng_on.visited_set() == eng_off.visited_set()
+
+
+def test_crawl_delay_defers_not_drops(spark, tmp_path):
+    eng_fast, stats_fast = _run(spark, tmp_path, "fast")
+    eng_slow, stats_slow = _run(
+        spark, tmp_path, "slow",
+        enforce_crawl_delay=True, crawl_delay_seconds=2,
+        seconds_per_superstep=1,
+    )
+    # the delay stretches the schedule but loses nothing
+    assert eng_slow.visited_set() == eng_fast.visited_set()
+    assert len(stats_slow) > len(stats_fast)
+    # no host is fetched in two supersteps closer than the delay
+    pages = eng_slow.store.read("pages").where(~F.col("skipped"))
+    fetch_steps = (
+        pages.groupBy("host", "superstep").count()
+        .orderBy("host", "superstep")
+        .collect()
+    )
+    by_host: dict[str, list[int]] = {}
+    for r in fetch_steps:
+        by_host.setdefault(r["host"], []).append(r["superstep"])
+    for host, steps in by_host.items():
+        for a, b in zip(steps, steps[1:]):
+            assert b - a >= 2, f"{host} fetched at {a} and {b}"

@@ -25,21 +25,21 @@ import sys
 import time
 
 
+def _burn(n: int) -> int:
+    x = 0
+    for i in range(n):
+        x += i * i
+    return x
+
+
 def cpu_control() -> dict:
     """Fixed per-process work at increasing process counts — measures the
     host's real parallel capacity independent of Spark."""
-
-    def burn(n: int) -> int:
-        x = 0
-        for i in range(n):
-            x += i * i
-        return x
-
     out = {}
     for procs in (1, 2, 8, 32):
         t0 = time.time()
         with mp.Pool(procs) as p:
-            p.map(burn, [6_000_000] * procs)
+            p.map(_burn, [6_000_000] * procs)
         out[f"procs_{procs}"] = round(time.time() - t0, 2)
     return out
 
