@@ -77,8 +77,11 @@ def main() -> None:
             spark, corpus_path, n_pages, n_hosts,
             partitions=CPUS * 2, body_repeat=BODY_REPEAT,
         )
-    pages_df = spark.read.parquet(corpus_path)
-    pages_df.count()  # warm the page cache / JIT
+    # cache the corpus: the synthetic fetcher probes it once per superstep
+    # (a real crawl reads the web, not a table — the cache stands in for
+    # "fetch cost scales with the wave, not the corpus")
+    pages_df = spark.read.parquet(corpus_path).cache()
+    pages_df.count()  # materialize + JIT warm-up
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}

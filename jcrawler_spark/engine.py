@@ -85,9 +85,26 @@ class SyntheticFetcher:
         self.failing_hosts = set(failing_hosts or [])
 
     def fetch(self, wave: DataFrame) -> DataFrame:
-        """wave columns + (html, status, location, content_type, error)."""
+        """wave columns + (html, status, location, content_type, error).
+
+        Shuffle-free: the wave (small side) is BROADCAST and the corpus is
+        probed in place — an inner broadcast join for hits plus a broadcast
+        anti-join for 404 misses. A shuffle join here would move the whole
+        html corpus every superstep (parallelism-independent IO — it capped
+        scaling until replaced). A production HTTP fetcher is mapInPandas
+        over the wave and has no corpus side at all; a pages table bucketed
+        by url gives the same shuffle-free plan without broadcast limits."""
         pages = self.pages.withColumnsRenamed({"url": "p_url"})
-        joined = wave.join(pages, wave["url"] == pages["p_url"], "left")
+        hits = pages.join(F.broadcast(wave), wave["url"] == pages["p_url"])
+        misses = wave.join(
+            F.broadcast(hits.select(F.col("p_url").alias("url"))),
+            "url",
+            "left_anti",
+        )
+        for c in ["html", "status", "location", "content_type", "text"]:
+            typ = {"html": "binary", "status": "int"}.get(c, "string")
+            misses = misses.withColumn(c, F.lit(None).cast(typ))
+        joined = hits.drop("p_url").unionByName(misses)
         failing = F.lit(False)
         for h in self.failing_hosts:
             failing = failing | (F.col("host") == F.lit(h))
@@ -406,7 +423,12 @@ class CrawlEngine:
         skipped = gated.where(~gate_ok)
 
         # ---- fetch (S8) ----
-        fetched = self.fetcher.fetch(to_fetch).persist()
+        # cache only the html-free projection: the html column is consumed
+        # exactly once (extraction), and caching multi-KB bodies would blow
+        # the storage budget; column pruning keeps the metadata branch from
+        # ever reading html
+        fetched_full = self.fetcher.fetch(to_fetch)
+        fetched = fetched_full.drop("html", "text").persist()
 
         # lineage collect doubles as the count action (rows are ≤ #partitions)
         lineage_rows = (
@@ -450,7 +472,7 @@ class CrawlEngine:
         # Self-filter (F8) + per-page first-wins dedup (A1) run inside the
         # Arrow batch (JCrawler.java:1233-1238) — no shuffle needed: the
         # whole page's link list is local to the UDF call. ----
-        links_src = fetched.where(F.col("error").isNull())
+        links_src = fetched_full.where(F.col("error").isNull())
         links = links_src.select(
             F.col("url").alias("src_url"),
             F.col("depth").alias("src_depth"),

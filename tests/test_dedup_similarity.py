@@ -1,0 +1,129 @@
+"""Unit tests for the training-data operators: dedup family, similarity
+search, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from jcrawler_spark.operators import dedup, multimodal, similarity
+
+
+def test_hash60_matches_python(spark):
+    df = spark.createDataFrame([("abc",), ("hello world",)], ["s"])
+    got = {r["s"]: r["h"] for r in df.select("s", dedup.hash60(F.col("s")).alias("h")).collect()}
+    for s, h in got.items():
+        assert h == int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_shingles(spark):
+    df = spark.createDataFrame([("a b c d",), ("a b",)], ["text"])
+    got = [r["sh"] for r in df.select(dedup.shingles_col(F.col("text"), 3).alias("sh")).collect()]
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []  # shorter than k
+
+
+def test_exact_duplicates(spark):
+    rows = [(1, "same text"), (2, "same text"), (3, "unique")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = dedup.exact_duplicates(df).collect()
+    assert len(out) == 1
+    assert out[0]["keeper_id"] == 1 and out[0]["n_copies"] == 2
+
+
+def test_lsh_finds_identical_docs(spark):
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(1, text), (2, text), (3, "completely different words entirely here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(df, k=3, n_perm=4)
+    pairs = dedup.lsh_candidate_pairs(sigs, n_perm=4, band_size=2).collect()
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in pairs}
+    j = dedup.ngram_jaccard(
+        spark.createDataFrame([(1, 2)], ["id_a", "id_b"]), df, k=3
+    ).collect()
+    assert abs(j[0]["jaccard"] - 1.0) < 1e-12
+
+
+def test_simhash_similar_texts_close(spark):
+    a = "spark is a fast engine for large scale data processing today"
+    b = "spark is a fast engine for large scale data processing tomorrow"
+    c = "unrelated gibberish tokens zebra quantum parsnip violin eleven"
+    df = spark.createDataFrame([(1, a), (2, b), (3, c)], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", dedup.simhash_col(F.col("text"), 32).alias("sh")
+        ).collect()
+    }
+    def ham(x, y):
+        return bin(x ^ y).count("1")
+    assert ham(got[1], got[2]) < ham(got[1], got[3])
+
+
+def test_cosine_matches_numpy(spark):
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [4.0, 3.0, 2.0, 1.0]
+    df = spark.createDataFrame([(a, b)], ["a", "b"])
+    got = df.select(similarity.cosine_col(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    exp = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert abs(got - exp) < 1e-12
+
+
+def test_brute_force_topk_exact(spark):
+    rng = np.random.default_rng(42)
+    vecs = [(i, rng.normal(size=8).astype(float).tolist()) for i in range(30)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    probes = df.where(F.col("vec_id") < 2)
+    out = similarity.brute_force_topk(df, probes, k=3).collect()
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r["probe_id"], []).append((r["rank"], r["neighbor_id"]))
+    mat = {i: np.array(v) for i, v in vecs}
+    for pid, neigh in by_probe.items():
+        sims = sorted(
+            (
+                (-float(np.dot(mat[pid], mat[j]) /
+                        (np.linalg.norm(mat[pid]) * np.linalg.norm(mat[j]))), j)
+                for j in mat if j != pid
+            )
+        )
+        expected = [j for _, j in sims[:3]]
+        assert [n for _, n in sorted(neigh)] == expected
+
+
+def test_lsh_bucket_deterministic(spark):
+    rng = np.random.default_rng(1)
+    vecs = [(i, rng.normal(size=16).astype(float).tolist()) for i in range(10)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    b1 = df.select("vec_id", similarity.lsh_bucket_col(F.col("embedding"), 4, 16).alias("b")).collect()
+    b2 = df.select("vec_id", similarity.lsh_bucket_col(F.col("embedding"), 4, 16).alias("b")).collect()
+    assert {r["vec_id"]: r["b"] for r in b1} == {r["vec_id"]: r["b"] for r in b2}
+    assert all(0 <= r["b"] < 16 for r in b1)
+
+
+def test_multimodal_features_and_frames(spark):
+    media = multimodal.synthetic_media(spark, 30, partitions=3).cache()
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    # deterministic vs the pure function
+    raw = {r["media_id"]: bytes(r["content"]) for r in media.collect()}
+    for mid, content in raw.items():
+        exp = multimodal.fake_features(content)
+        assert by_id[mid]["n_bytes"] == exp["n_bytes"]
+        assert abs(by_id[mid]["byte_entropy"] - exp["byte_entropy"]) < 1e-9
+        assert list(by_id[mid]["histogram16"]) == exp["histogram16"]
+    frames = multimodal.sample_frames(media, every_n_bytes=1024).collect()
+    vids = [mid for mid, in media.where(F.col("kind") == "video").select("media_id").collect()]
+    assert frames and {r["media_id"] for r in frames} == set(vids)
+    for r in frames:
+        assert r["offset"] == r["frame_index"] * 1024
+    media.unpersist()
+
+
+def test_decode_media_is_stubbed():
+    import pytest
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"xx", "image/png")

@@ -1,0 +1,94 @@
+"""Unit tests for the global-rank operator and the snapshot store."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from jcrawler_spark.operators.rank import with_global_rank
+from jcrawler_spark.plans.tableio import SnapshotStore
+
+
+def test_global_rank_dense_and_ordered(spark):
+    rows = [(i % 13, i, f"u{i:04d}") for i in range(500)]
+    random.Random(7).shuffle(rows)
+    df = spark.createDataFrame(rows, ["a", "b", "u"]).repartition(7)
+    ranked, total, cache = with_global_rank(df, ["a", "b"], "r")
+    got = sorted((r["r"], r["a"], r["b"]) for r in ranked.collect())
+    assert total == 500
+    assert [g[0] for g in got] == list(range(500))  # dense 0..n-1
+    expected = sorted((x[0], x[1]) for x in rows)
+    assert [(g[1], g[2]) for g in got] == expected
+    cache.unpersist()
+
+
+def test_global_rank_survives_union(spark):
+    """The regression that bit the engine: rank consumed through a union
+    must keep partition-relative offsets correct."""
+    rows = [(i, f"u{i}") for i in range(100)]
+    random.Random(3).shuffle(rows)
+    df = spark.createDataFrame(rows, ["k", "u"]).repartition(5)
+    ranked, total, cache = with_global_rank(df, ["k"], "r")
+    other = spark.createDataFrame([(999, "x", -1)], ["k", "u", "r"])
+    unioned = other.unionByName(ranked).collect()
+    got = sorted((r["r"], r["k"]) for r in unioned if r["r"] >= 0)
+    assert [g[0] for g in got] == list(range(100))
+    assert [g[1] for g in got] == sorted(x[0] for x in rows)
+    cache.unpersist()
+
+
+def test_global_rank_empty(spark):
+    df = spark.createDataFrame([], "k int, u string")
+    ranked, total, cache = with_global_rank(df, ["k"], "r")
+    assert total == 0
+    assert ranked.count() == 0
+    cache.unpersist()
+
+
+def test_snapshot_store_commit_rollback_vacuum(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "st"), spark)
+    df1 = spark.createDataFrame([(1, "a")], ["id", "v"])
+    store.stage_append("pages", df1, 1)
+    store.stage_snapshot("frontier", df1, 1)
+    store.commit(1, {"n": 1})
+    df2 = spark.createDataFrame([(2, "b")], ["id", "v"])
+    store.stage_append("pages", df2, 2)
+    store.stage_snapshot("frontier", df2, 2)
+    store.commit(2, {"n": 2})
+
+    assert store.last_superstep() == 2
+    assert store.read("pages").count() == 2  # appends accumulate
+    assert store.read("frontier").count() == 1  # snapshot replaces
+    assert [r["id"] for r in store.read("frontier").collect()] == [2]
+    # as-of read
+    assert store.read("pages", as_of=1).count() == 1
+    assert store.counters(1) == {"n": 1}
+
+    # uncommitted staging is invisible
+    df3 = spark.createDataFrame([(3, "c")], ["id", "v"])
+    store.stage_append("pages", df3, 3)
+    assert store.read("pages").count() == 2
+
+    # rollback drops newer commits; vacuum reclaims orphans
+    store._staged = {}
+    store.rollback_to(1)
+    assert store.last_superstep() == 1
+    assert store.read("pages").count() == 1
+    removed = store.vacuum()
+    assert removed >= 2  # superstep-2 delta + snapshot + staged orphan
+    assert store.read("pages").count() == 1
+
+
+def test_snapshot_store_blob(spark, tmp_path):
+    store = SnapshotStore(str(tmp_path / "st2"), spark)
+    store.stage_blob("bloom", b"\x01\x02", 1)
+    df = spark.createDataFrame([(1,)], ["id"])
+    store.stage_snapshot("frontier", df, 1)
+    store.commit(1, {})
+    assert store.read_blob() == b"\x01\x02"
+    store.stage_blob("bloom", b"\x03", 2)
+    store.stage_snapshot("frontier", df, 2)
+    store.commit(2, {})
+    assert store.read_blob() == b"\x03"
+    assert store.read_blob(as_of=1) == b"\x01\x02"
