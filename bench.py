@@ -42,6 +42,10 @@ CORPUS_DIR = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "")
 # ~0.5 KB pages at 1 (unit-test scale); ~12 KB at 25 (realistic web pages,
 # the compute-bound regime the scaling protocol measures)
 BODY_REPEAT = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "1"))
+# steady-state mode: seed the whole frontier at once → one giant wave.
+# A 10^10 crawl runs with waves of 10^6-10^8 URLs where per-superstep
+# driver latency is noise; this measures that regime at local scale.
+SEED_ALL = os.environ.get("SPARK_GRAFT_SEED_ALL", "") == "1"
 
 
 def _sf_from_dir(d: str) -> float:
@@ -87,12 +91,11 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # ---- crawl superstep engine (the authoritative metric) ----
-    n_seeds = max(1000, n_pages // 40)
+    max_docs_env = min(int(os.environ.get("SPARK_GRAFT_MAX_DOCS", "40000")), n_pages)
+    n_seeds = max_docs_env if SEED_ALL else max(1000, n_pages // 40)
     seeds = [corpus.url_of(i, n_hosts) for i in range(n_seeds)]
     cfg = CrawlConfig(
-        max_docs=min(
-            int(os.environ.get("SPARK_GRAFT_MAX_DOCS", "40000")), n_pages
-        ),
+        max_docs=max_docs_env,
         bloom_enabled=True,
         bloom_shards=16,
     )

@@ -28,6 +28,9 @@ class TraversalType(Enum):
     PARALLEL_BREADTH_FIRST = "parallel_breadth_first"
     BREADTH_FIRST = "breadth_first"
     DEPTH_FIRST_PREORDER = "depth_first_preorder"
+    # expansion identical to preorder; emission after descendants
+    # (postorder of the discovery tree — DIVERGENCES.md)
+    DEPTH_FIRST_POSTORDER = "depth_first_postorder"
 
 
 @dataclass

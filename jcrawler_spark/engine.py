@@ -189,28 +189,49 @@ class CrawlEngine:
 
     def seed(self, seed_patterns: list[str]) -> None:
         """Expand seed patterns through Generators (JCrawler.java:710), build
-        the accept set (JCrawler.java:876-889), commit superstep 0."""
+        the accept set (JCrawler.java:876-889), commit superstep 0.
+
+        Seed rows are built JVM-side (hashing/host parsing as Column
+        expressions) so million-URL seed lists don't serialize through
+        driver Python row-by-row; only the raw strings cross."""
         urls = generators.generate_all(seed_patterns)
         self.accept_set = accept_ops.build_accept_set(
             urls, self.config.accept, self.config.accept_hostname
         )
-        # horizon dedup on insert: first occurrence wins
-        uniq: list[str] = []
-        seen_local: set[str] = set()
-        for u in urls:
-            h = urlops.url_hash(u)
-            if h not in seen_local:
-                seen_local.add(h)
-                uniq.append(u)
-        rows = [self._url_row(u, i) for i, u in enumerate(uniq)]
-        pending = self.spark.createDataFrame(rows, schema=_PENDING)
-        self.order_counter = len(rows)
-        self._pending_count = len(rows)
+        raw = self.spark.createDataFrame(
+            [(u, i) for i, u in enumerate(urls)], "url string, pos long"
+        )
+        w_dedup = Window.partitionBy("url_hash").orderBy("pos")
+        w_dense = Window.orderBy("pos")  # seeds only; one-time tiny window
+        pending = (
+            raw.withColumn("url_hash", urlops.url_hash_col(F.col("url")))
+            .withColumn("rn", F.row_number().over(w_dedup))
+            .where(F.col("rn") == 1)
+            .withColumn("order_key", (F.row_number().over(w_dense) - 1).cast("long"))
+            .select(
+                "url",
+                "url_hash",
+                urlops.host_col(F.col("url")).alias("host"),
+                F.lit(0).alias("depth"),
+                F.lit(0.0).alias("priority"),
+                F.lit(False).alias("is_resource"),
+                F.lit(False).alias("is_redirect"),
+                F.lit(None).cast("string").alias("src_url"),
+                F.lit(0).alias("superstep"),
+                "order_key",
+                F.format_string("%08x", F.col("order_key")).alias("path_key"),
+            )
+        )
         cfg = self.config
         self._bloom = bloom_ops.ShardedBloom(
             cfg.bloom_shards, cfg.bloom_bits_per_shard, cfg.bloom_hashes
         )
+        obs = Observation("seed")
+        pending = pending.observe(obs, F.count(F.lit(1)).alias("n"))
         self.store.stage_snapshot("frontier", pending, 0)
+        n_seeds = int(obs.get["n"])  # observed during the snapshot write
+        self.order_counter = n_seeds
+        self._pending_count = n_seeds
         self.store.stage_blob("bloom", self._bloom.to_bytes(), 0)
         host_state = self.spark.createDataFrame([], schema=self._host_state_schema())
         self.store.stage_snapshot("host_state", host_state, 0)
@@ -261,8 +282,14 @@ class CrawlEngine:
     # wave selection (T1/T2/T6/T7/F7)
     # ------------------------------------------------------------------
 
+    def _is_dfs(self) -> bool:
+        return self.config.traversal in (
+            TraversalType.DEPTH_FIRST_PREORDER,
+            TraversalType.DEPTH_FIRST_POSTORDER,
+        )
+
     def _order_cols(self) -> list:
-        if self.config.traversal == TraversalType.DEPTH_FIRST_PREORDER:
+        if self._is_dfs():
             return [F.col("path_key")]
         return [F.col("priority"), F.col("order_key")]
 
@@ -270,7 +297,7 @@ class CrawlEngine:
         cfg = self.config
         cand = pending
 
-        if cfg.traversal == TraversalType.DEPTH_FIRST_PREORDER:
+        if self._is_dfs():
             # DFS dedups at VISIT time (Guava preorder yields on first
             # encounter), so pending may hold the same URL via several paths;
             # drop entries whose hash was already visited before popping.
@@ -321,7 +348,7 @@ class CrawlEngine:
             )
 
         limit = None
-        if self.config.traversal == TraversalType.DEPTH_FIRST_PREORDER:
+        if self._is_dfs():
             limit = 1  # sequential by definition (single stack pop)
         if cfg.wave_budget is not None:
             limit = min(limit or cfg.wave_budget, cfg.wave_budget)
@@ -350,7 +377,7 @@ class CrawlEngine:
                 since[0] = now
 
         tick = [t0]
-        is_dfs = cfg.traversal == TraversalType.DEPTH_FIRST_PREORDER
+        is_dfs = self._is_dfs()
         pending = self.store.read("frontier")
         if pending is None:
             return None
@@ -447,7 +474,8 @@ class CrawlEngine:
         # one consolidated wave-result delta: every popped URL (fetched or
         # gate-skipped) — this IS the seen delta AND the emission record
         page_cols = [
-            "url", "url_hash", "host", "depth", "order_key", "path_key",
+            "url", "url_hash", "host", "depth", "is_resource", "is_redirect",
+            "src_url", "order_key", "path_key",
             "status", "content_type", "location", "error",
         ]
         pages_delta = (
@@ -457,7 +485,8 @@ class CrawlEngine:
             )
             .unionByName(
                 skipped.select(
-                    "url", "url_hash", "host", "depth", "order_key", "path_key",
+                    "url", "url_hash", "host", "depth", "is_resource",
+                    "is_redirect", "src_url", "order_key", "path_key",
                     F.lit(None).cast("int").alias("status"),
                     F.lit(None).cast("string").alias("content_type"),
                     F.lit(None).cast("string").alias("location"),
@@ -676,6 +705,49 @@ class CrawlEngine:
         df = self.store.read("pages")
         return None if df is None else df.select("url_hash")
 
+    def requeue_expired(self, max_age_supersteps: int) -> int:
+        """S10 cache-expiry re-fetch (JCrawler.forceDownload,
+        JCrawler.java:762-788): URLs whose LATEST fetch happened more than
+        `max_age_supersteps` logical steps ago move back to pending. The
+        re-fetch appends a fresh pages row — the URL re-emits, exactly like
+        the reference re-downloading an expired cache entry. Committed as a
+        maintenance superstep (frontier snapshot only)."""
+        s = self.superstep
+        pages = self.store.read("pages")
+        if pages is None:
+            return 0
+        pending = self.store.read("frontier")
+        latest = pages.groupBy("url_hash").agg(F.max("superstep").alias("last_s"))
+        expired = (
+            pages.where(~F.col("skipped"))
+            .join(latest, "url_hash")
+            .where(F.col("superstep") == F.col("last_s"))
+            .where(F.col("last_s") <= F.lit(s - max_age_supersteps))
+            .join(pending.select("url_hash"), "url_hash", "left_anti")
+        )
+        rows = expired.select(
+            "url",
+            "url_hash",
+            "host",
+            F.col("depth").cast("int").alias("depth"),
+            F.col("depth").cast("double").alias("priority"),
+            "is_resource",
+            "is_redirect",
+            "src_url",
+            F.lit(s + 1).alias("superstep"),
+            "order_key",   # original discovery order keeps the re-crawl FIFO
+            "path_key",
+        )
+        next_pending = pending.unionByName(rows)
+        # commit() carries forward unstaged snapshots/blobs from the prior
+        # manifest, so only the frontier needs staging here
+        self.store.stage_snapshot("frontier", next_pending, s + 1)
+        n = rows.count()
+        self._pending_count += n
+        self.superstep = s + 1
+        self.store.commit(s + 1, self._counters())
+        return n
+
     def _rank_new(self, cand: DataFrame, s: int) -> tuple[DataFrame, int]:
         """Deterministic FIFO order_keys for newly discovered URLs by
         (parent order, in-page order): range-partitioned Arrow rank
@@ -740,6 +812,10 @@ class CrawlEngine:
             # DFS pop order == global lexicographic path_key order (children
             # extend the parent's prefix, so they sort right after it)
             order = [F.col("path_key")]
+        elif self.config.traversal == TraversalType.DEPTH_FIRST_POSTORDER:
+            # append a sentinel > '/' and > hex digits: children ("p/xx…")
+            # then sort BEFORE their parent ("p<sentinel>") — postorder
+            order = [F.concat(F.col("path_key"), F.lit("\x7f"))]
         else:
             # wave processing order: supersteps in sequence, order_key within
             # a wave (budget-deferred rows re-emit later with their old key)

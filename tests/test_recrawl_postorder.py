@@ -1,0 +1,121 @@
+"""Cache-expiry recrawl (S10) and DFS postorder emission tests."""
+
+from __future__ import annotations
+
+import gzip
+import shutil
+import zlib
+
+import pytest
+
+from jcrawler_spark import corpus
+from jcrawler_spark.config import CrawlConfig, TraversalType
+from jcrawler_spark.engine import CrawlEngine, SyntheticFetcher
+from jcrawler_spark.functions import compress
+
+N, H = 60, 8
+ACCEPTS = [f"host{i}.example" for i in range(H)]
+
+
+def test_requeue_expired_recrawls_everything(spark, tmp_path):
+    pages = corpus.build_pages_df(spark, N, H, partitions=4).cache()
+    cfg = CrawlConfig(accept=ACCEPTS, max_docs=10_000)
+    root = str(tmp_path / "st")
+    shutil.rmtree(root, ignore_errors=True)
+    eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages), root)
+    eng.run(seeds=[corpus.url_of(0, H)], max_supersteps=40)
+    first_visited = eng.visited_set()
+    first_emitted = eng.emitted_count
+
+    # everything is "expired" immediately → full recrawl
+    n = eng.requeue_expired(0)
+    assert n == first_emitted  # every fetched URL requeued
+    eng.run(seeds=None, max_supersteps=40)
+    assert eng.visited_set() == first_visited
+    assert eng.emitted_count == 2 * first_emitted  # re-emission
+    # a fresh pages row exists per URL for the second fetch
+    pages_tbl = eng.store.read("pages")
+    from pyspark.sql import functions as F
+    per_url = pages_tbl.groupBy("url_hash").count().agg(F.min("count")).collect()
+    assert per_url[0][0] == 2
+    pages.unpersist()
+
+
+def _dfs_orders(pages_by_url, seed, accept_set, max_docs):
+    from jcrawler_spark.functions import urlops
+    from jcrawler_spark.operators import accept as accept_ops
+    from crawl_oracle import _links_of
+
+    pre: list[str] = []
+    post: list[str] = []
+    seen: set[str] = set()
+
+    def visit(url, depth, is_res, is_red):
+        if len(pre) >= max_docs:
+            return
+        h = urlops.url_hash(url)
+        if h in seen:
+            return
+        seen.add(h)
+        pre.append(url)
+        ok, _ = accept_ops.accept_link(url, depth, is_res, is_red, accept_set, 100)
+        if ok:
+            page = pages_by_url.get(url)
+            if page is not None:
+                for l in _links_of(page, url, depth):
+                    ok2, _ = accept_ops.accept_link(
+                        l["url"], depth + 1, l["is_resource"], l["is_redirect"],
+                        accept_set, 100,
+                    )
+                    if ok2:
+                        visit(l["url"], depth + 1, l["is_resource"], l["is_redirect"])
+        post.append(url)
+
+    visit(seed, 0, False, False)
+    return pre, post
+
+
+def test_dfs_postorder_emission(spark, tmp_path):
+    from jcrawler_spark.operators import accept as accept_ops
+
+    pages = corpus.build_pages_df(spark, N, H, partitions=4).cache()
+    pages_local = {p["url"]: p for p in corpus.local_pages(N, H)}
+    cfg = CrawlConfig(
+        accept=ACCEPTS, max_docs=12,
+        traversal=TraversalType.DEPTH_FIRST_POSTORDER, bloom_enabled=False,
+    )
+    root = str(tmp_path / "st2")
+    shutil.rmtree(root, ignore_errors=True)
+    eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages), root)
+    eng.run(seeds=[corpus.url_of(0, H)], max_supersteps=12)
+    aset = accept_ops.build_accept_set([corpus.url_of(0, H)], ACCEPTS)
+    _, post = _dfs_orders(pages_local, corpus.url_of(0, H), aset, 12)
+    # same visited set as the recursive traversal, emitted in postorder of
+    # the discovery tree
+    assert eng.visited_set() == set(post)
+    assert eng.emitted_urls() == post
+    pages.unpersist()
+
+
+def test_decompress_roundtrips():
+    data = b"hello compressed world" * 10
+    assert compress.decompress(gzip.compress(data), "gzip") == data
+    assert compress.decompress(zlib.compress(data), "deflate") == data
+    raw = zlib.compressobj(wbits=-zlib.MAX_WBITS)
+    rawd = raw.compress(data) + raw.flush()
+    assert compress.decompress(rawd, "deflate") == data
+    assert compress.decompress(data, None) == data
+    assert compress.decompress(data, "identity") == data
+    if compress.brotli is None:
+        with pytest.raises(NotImplementedError):
+            compress.decompress(b"x", "br")
+    assert compress.extension_for_encoding("gzip") == ".gz"
+    assert compress.encoding_for_extension(".zst") == "zstd"
+
+
+def test_decompress_udf(spark):
+    data = b"payload bytes here"
+    rows = [(gzip.compress(data), "gzip"), (data, None), (zlib.compress(data), "deflate")]
+    df = spark.createDataFrame(rows, "body binary, enc string")
+    out = df.select(compress.decompress_udf("body", "enc").alias("d")).collect()
+    assert all(bytes(r["d"]) == data for r in out)

@@ -1,0 +1,79 @@
+"""Physical-plan audit: .explain("formatted") for the contract queries +
+one engine wave, grepping for the properties that matter at 100 TB:
+
+  * PushedFilters / ReadSchema on parquet scans (pushdown + pruning)
+  * BroadcastHashJoin where a small side exists (no accidental SMJ)
+  * WholeStageCodegen spans covering the Column-expression pipeline
+  * no CartesianProduct outside the intentional probe crossJoin
+
+Writes PLANS.md. Run when the machine is idle (it executes explain() only —
+no jobs — but spins up a session).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.01"
+
+CHECKS = {
+    "url_hash": ["WholeStageCodegen", "ReadSchema"],
+    "first_wins_dedup": ["ReadSchema"],
+    "politeness_window": ["Window"],
+    "cosine_topk": ["BroadcastNestedLoopJoin|BroadcastHashJoin|CartesianProduct"],
+    "lsh_ann_topk": ["BroadcastHashJoin"],
+    "lsh_pairs": ["HashAggregate"],
+    "dedup_exact": ["HashAggregate"],
+    "localize_join": ["BroadcastHashJoin"],
+}
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    from jcrawler_spark.session import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    out = ["# PLANS — physical-plan audit (explain formatted, sf0.01)\n"]
+    summary = []
+    for name, markers in CHECKS.items():
+        plan = plan_of(qs[name](spark, SF))
+        found = {
+            m: bool(re.search(m, plan)) for m in markers
+        }
+        pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+        schemas = re.findall(r"ReadSchema: [^\n]*", plan)
+        summary.append(f"- **{name}**: markers {found}")
+        out.append(f"## {name}\n")
+        out.append("markers: " + ", ".join(f"{m}={v}" for m, v in found.items()))
+        if pushed:
+            out.append("\npushdown: " + "; ".join(pushed[:4]))
+        if schemas:
+            out.append("\nread schemas: " + "; ".join(s[:160] for s in schemas[:4]))
+        wsc = len(re.findall(r"WholeStageCodegen", plan))
+        out.append(f"\nwhole-stage codegen spans: {wsc}\n")
+        excerpt = "\n".join(plan.splitlines()[:40])
+        out.append("```\n" + excerpt + "\n```\n")
+    out.insert(1, "\n".join(summary) + "\n")
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write("\n".join(out))
+    print("\n".join(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
