@@ -40,6 +40,7 @@ from __future__ import annotations
 import time
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame, Observation, Row, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -83,6 +84,13 @@ class SyntheticFetcher:
         cols = ["url", "html", "status", "location", "content_type", "text"]
         self.pages = pages.select(*cols)
         self.failing_hosts = set(failing_hosts or [])
+        # corpus URL membership, broadcast ONCE and reused by every wave's
+        # 404-miss check (a per-wave anti-join would rebuild a broadcast
+        # each superstep)
+        sc = pages.sparkSession.sparkContext
+        self._known_urls = sc.broadcast(
+            frozenset(r["url"] for r in self.pages.select("url").collect())
+        )
 
     def fetch(self, wave: DataFrame) -> DataFrame:
         """wave columns + (html, status, location, content_type, error).
@@ -96,11 +104,14 @@ class SyntheticFetcher:
         by url gives the same shuffle-free plan without broadcast limits."""
         pages = self.pages.withColumnsRenamed({"url": "p_url"})
         hits = pages.join(F.broadcast(wave), wave["url"] == pages["p_url"])
-        misses = wave.join(
-            F.broadcast(hits.select(F.col("p_url").alias("url"))),
-            "url",
-            "left_anti",
-        )
+        known = self._known_urls
+
+        @F.pandas_udf(T.BooleanType())
+        def in_corpus(url: pd.Series) -> pd.Series:
+            s = known.value
+            return url.isin(s)
+
+        misses = wave.where(~in_corpus(F.col("url")))
         for c in ["html", "status", "location", "content_type", "text"]:
             typ = {"html": "binary", "status": "int"}.get(c, "string")
             misses = misses.withColumn(c, F.lit(None).cast(typ))
@@ -198,8 +209,9 @@ class CrawlEngine:
         self.accept_set = accept_ops.build_accept_set(
             urls, self.config.accept, self.config.accept_hostname
         )
+        # Arrow path: a pandas frame converts in bulk, not row-by-row
         raw = self.spark.createDataFrame(
-            [(u, i) for i, u in enumerate(urls)], "url string, pos long"
+            pd.DataFrame({"url": urls, "pos": range(len(urls))})
         )
         w_dedup = Window.partitionBy("url_hash").orderBy("pos")
         w_dense = Window.orderBy("pos")  # seeds only; one-time tiny window

@@ -41,10 +41,15 @@ def build_accept_set(
     verbatim when they start with 'http' or contain '{', else templated),
     all expanded through Generators. Returns sorted distinct prefixes."""
     patterns: list[str] = []
+    # dedup hosts before templating: seed lists can be millions of URLs on
+    # a few thousand hosts
+    hosts: set[str] = set()
     for u in seed_urls:
         host = urlops.hostname_for_accept(u)
         if host:
-            patterns.append(accept_hostname.replace("%s", host))
+            hosts.add(host)
+    for host in sorted(hosts):
+        patterns.append(accept_hostname.replace("%s", host))
     for acc in extra_accept or []:
         if acc.startswith("http") or "{" in acc:
             patterns.append(acc)
