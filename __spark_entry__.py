@@ -31,8 +31,37 @@ from jcrawler_spark.operators import dedup, extract, graph, multimodal, similari
 # helpers
 # ---------------------------------------------------------------------------
 
+_SHIPPED: set[int] = set()
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    """Ship jcrawler_spark to executors via addPyFile — works even when the
+    caller's JVM predates this import (env-var PYTHONPATH fixes cannot)."""
+    key = id(spark.sparkContext)
+    if key in _SHIPPED:
+        return
+    import os
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "jcrawler_spark")
+    zpath = os.path.join(tempfile.gettempdir(), "jcrawler_spark_pkg.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zpath)
+    except Exception:
+        pass  # already added in this context
+    _SHIPPED.add(key)
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    _ensure_shipped(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

