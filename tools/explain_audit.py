@@ -22,7 +22,7 @@ sys.path.insert(0, "/root/repo")
 SF = "/root/testdata/sf0.01"
 
 CHECKS = {
-    "url_hash": ["WholeStageCodegen", "ReadSchema"],
+    "url_hash": [r"\* Project", "ReadSchema"],
     "first_wins_dedup": ["ReadSchema"],
     "politeness_window": ["Window"],
     "cosine_topk": ["BroadcastNestedLoopJoin|BroadcastHashJoin|CartesianProduct"],
@@ -64,7 +64,8 @@ def main() -> None:
             out.append("\npushdown: " + "; ".join(pushed[:4]))
         if schemas:
             out.append("\nread schemas: " + "; ".join(s[:160] for s in schemas[:4]))
-        wsc = len(re.findall(r"WholeStageCodegen", plan))
+        # formatted explain marks codegen operators with a "* " prefix
+        wsc = len(re.findall(r"^\s*[*+\-]*\s*\* ", plan, re.M))
         out.append(f"\nwhole-stage codegen spans: {wsc}\n")
         excerpt = "\n".join(plan.splitlines()[:40])
         out.append("```\n" + excerpt + "\n```\n")
