@@ -96,8 +96,10 @@ def main() -> None:
     seeds = [corpus.url_of(i, n_hosts) for i in range(n_seeds)]
     cfg = CrawlConfig(
         max_docs=max_docs_env,
+        max_connections=None,  # bench measures throughput, not politeness
         bloom_enabled=True,
         bloom_shards=16,
+        debug_timing=os.environ.get("SPARK_GRAFT_DEBUG_TIMING", "") == "1",
     )
     eng = CrawlEngine(
         spark, cfg, SyntheticFetcher(pages_df), os.path.join(state_root, "state")

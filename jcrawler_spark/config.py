@@ -43,7 +43,13 @@ class CrawlConfig:
     accept_hostname: str = "{http|https}://{www.|}%s"
 
     max_docs: int = 10_000           # JCrawler.java:605-606
-    max_connections: int = 3         # JCrawler.java:607-608 (global budget)
+    # the reference's GLOBAL politeness primitive: at most this many
+    # simultaneous connections (JCrawler.java:607-608). Its superstep
+    # analogue is the per-wave global budget — when neither `wave_budget`
+    # nor `per_host_budget` is set, waves are capped at max_connections
+    # (see effective_wave_budget), so default-config politeness matches the
+    # reference's 3-connection default. None = unlimited.
+    max_connections: int | None = 3
     depth: int = 100                 # JCrawler.java:630-632
     cache_expiry_seconds: int = 100 * 24 * 3600  # JCrawler.java:611-613
     failing_host_backoff_seconds: int = 600      # JCrawler.java:870-872
@@ -68,9 +74,9 @@ class CrawlConfig:
     # pending — unlike the failing-host gate, which consumes)
     enforce_crawl_delay: bool = False
     crawl_delay_seconds: int = 1
-    # hosts holding more than this fraction of a wave get salted into
-    # sub-partitions before the fetch repartition (mega-host skew defusal)
-    skew_salt_threshold: float = 0.05
+    # mega-host skew defusal: the politeness window's phase-1 top-k runs per
+    # (host, salt) so no task ever sees a mega-host's whole frontier;
+    # salting is unconditional (a uniform host pays one extra tiny window)
     skew_salt_buckets: int = 16
     # F6 ignored-domains side aggregate (A3); off saves one job per wave
     track_ignored_domains: bool = True
@@ -81,3 +87,23 @@ class CrawlConfig:
     bloom_shards: int = 8
     bloom_bits_per_shard: int = 1 << 20
     bloom_hashes: int = 5
+    # grow the Bloom (new generation, 4× bits) when the current generation's
+    # fill ratio crosses this; None disables growth (warn-only)
+    bloom_grow_at_fill: float | None = 0.5
+
+    def effective_wave_budget(self) -> int | None:
+        """The global per-wave fetch cap. Explicit `wave_budget` wins; with
+        no explicit politeness knobs at all, the reference's default
+        maxConnections=3 token pool applies (JCrawler.java:607-608,868):
+        a wave of 3 is exactly one token-pool refill per logical tick."""
+        if self.wave_budget is not None:
+            return self.wave_budget
+        if self.per_host_budget is None:
+            return self.max_connections
+        return None
+
+    def cache_expiry_supersteps(self) -> int:
+        """`--expire` (JCrawler.java:611-613) on the logical clock."""
+        return max(
+            1, self.cache_expiry_seconds // max(1, self.seconds_per_superstep)
+        )

@@ -41,7 +41,7 @@ import time
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, Observation, Row, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -78,44 +78,53 @@ class SyntheticFetcher:
     `failing_hosts` raise on fetch — modelled as an error row (the reference
     marks the host failing and records error metadata,
     JCrawler.java:1126-1131). URLs absent from the corpus are HTTP 404s
-    (valid responses, not errors)."""
+    (valid responses, not errors — detected by the join's null html, never
+    by a driver-side URL set).
 
-    def __init__(self, pages: DataFrame, failing_hosts: list[str] | None = None):
+    Two join shapes, picked by wave size (`approx_rows` from the engine):
+      * small wave  → the wave is BROADCAST: inner broadcast join for hits
+        plus a broadcast anti-join of the wave against the hit urls for the
+        404 misses (the hit-url probe is column-pruned to `url` only);
+      * large wave  → ONE left-outer join wave⟕corpus on url. The corpus
+        side shuffles only if it isn't bucketed — a pages table bucketed by
+        url (corpus.write_pages_bucketed / Iceberg bucket partitioning in
+        production) makes this a one-sided shuffle of just the wave, the
+        shape that survives 10^7-row waves where a broadcast cannot.
+
+    Nothing is ever collected to the driver."""
+
+    def __init__(
+        self,
+        pages: DataFrame,
+        failing_hosts: list[str] | None = None,
+        broadcast_wave_rows: int = 150_000,
+    ):
         cols = ["url", "html", "status", "location", "content_type", "text"]
         self.pages = pages.select(*cols)
         self.failing_hosts = set(failing_hosts or [])
-        # corpus URL membership, broadcast ONCE and reused by every wave's
-        # 404-miss check (a per-wave anti-join would rebuild a broadcast
-        # each superstep)
-        sc = pages.sparkSession.sparkContext
-        self._known_urls = sc.broadcast(
-            frozenset(r["url"] for r in self.pages.select("url").collect())
+        self.broadcast_wave_rows = broadcast_wave_rows
+
+    def fetch(self, wave: DataFrame, approx_rows: int | None = None) -> DataFrame:
+        """wave columns + (html, status, location, content_type, error)."""
+        small = (
+            approx_rows is not None and approx_rows <= self.broadcast_wave_rows
         )
-
-    def fetch(self, wave: DataFrame) -> DataFrame:
-        """wave columns + (html, status, location, content_type, error).
-
-        Shuffle-free: the wave (small side) is BROADCAST and the corpus is
-        probed in place — an inner broadcast join for hits plus a broadcast
-        anti-join for 404 misses. A shuffle join here would move the whole
-        html corpus every superstep (parallelism-independent IO — it capped
-        scaling until replaced). A production HTTP fetcher is mapInPandas
-        over the wave and has no corpus side at all; a pages table bucketed
-        by url gives the same shuffle-free plan without broadcast limits."""
-        pages = self.pages.withColumnsRenamed({"url": "p_url"})
-        hits = pages.join(F.broadcast(wave), wave["url"] == pages["p_url"])
-        known = self._known_urls
-
-        @F.pandas_udf(T.BooleanType())
-        def in_corpus(url: pd.Series) -> pd.Series:
-            s = known.value
-            return url.isin(s)
-
-        misses = wave.where(~in_corpus(F.col("url")))
-        for c in ["html", "status", "location", "content_type", "text"]:
-            typ = {"html": "binary", "status": "int"}.get(c, "string")
-            misses = misses.withColumn(c, F.lit(None).cast(typ))
-        joined = hits.drop("p_url").unionByName(misses)
+        if small:
+            pages = self.pages.withColumnsRenamed({"url": "p_url"})
+            hits = pages.join(
+                F.broadcast(wave), wave["url"] == pages["p_url"]
+            ).drop("p_url")
+            # misses = wave ∖ hits; the anti probe re-reads only the corpus
+            # url column (pruned scan), and the build side is ≤ the wave
+            misses = wave.join(
+                F.broadcast(hits.select("url")), "url", "left_anti"
+            )
+            for c in ["html", "status", "location", "content_type", "text"]:
+                typ = {"html": "binary", "status": "int"}.get(c, "string")
+                misses = misses.withColumn(c, F.lit(None).cast(typ))
+            joined = hits.unionByName(misses)
+        else:
+            joined = wave.join(self.pages, "url", "left")
         failing = F.lit(False)
         for h in self.failing_hosts:
             failing = failing | (F.col("host") == F.lit(h))
@@ -141,7 +150,7 @@ class SyntheticFetcher:
                     F.coalesce(F.col("content_type"), F.lit("text/plain"))
                 ),
             )
-            .drop("p_url", "fetch_failed")
+            .drop("fetch_failed")
         )
 
 
@@ -177,7 +186,7 @@ class CrawlEngine:
         self._pending_count = 0
         self._any_host_errors = False
         self._rank_cache: DataFrame | None = None
-        self._bloom: bloom_ops.ShardedBloom | None = None
+        self._bloom: bloom_ops.GenerationalBloom | None = None
 
     # ------------------------------------------------------------------
     # seeding / resume
@@ -199,34 +208,37 @@ class CrawlEngine:
             pd.DataFrame({"url": urls, "pos": range(len(urls))})
         )
         w_dedup = Window.partitionBy("url_hash").orderBy("pos")
-        w_dense = Window.orderBy("pos")  # seeds only; one-time tiny window
-        pending = (
+        deduped = (
             raw.withColumn("url_hash", urlops.url_hash_col(F.col("url")))
             .withColumn("rn", F.row_number().over(w_dedup))
             .where(F.col("rn") == 1)
-            .withColumn("order_key", (F.row_number().over(w_dense) - 1).cast("long"))
-            .select(
-                "url",
-                "url_hash",
-                urlops.host_col(F.col("url")).alias("host"),
-                F.lit(0).alias("depth"),
-                F.lit(0.0).alias("priority"),
-                F.lit(False).alias("is_resource"),
-                F.lit(False).alias("is_redirect"),
-                F.lit(None).cast("string").alias("src_url"),
-                F.lit(0).alias("superstep"),
-                "order_key",
-                F.format_string("%08x", F.col("order_key")).alias("path_key"),
-            )
+            .drop("rn")
+        )
+        # global FIFO order_key via the range-partitioned Arrow rank — a
+        # million-URL seed list never funnels through one window task
+        ranked, n_seeds, rank_cache = rank_ops.with_global_rank(
+            deduped, ["pos"], out_col="order_key"
+        )
+        pending = ranked.select(
+            "url",
+            "url_hash",
+            urlops.host_col(F.col("url")).alias("host"),
+            F.lit(0).alias("depth"),
+            F.lit(0.0).alias("priority"),
+            F.lit(False).alias("is_resource"),
+            F.lit(False).alias("is_redirect"),
+            F.lit(None).cast("string").alias("src_url"),
+            F.lit(0).alias("superstep"),
+            F.col("order_key").cast("long").alias("order_key"),
+            F.format_string("%08x", F.col("order_key")).alias("path_key"),
         )
         cfg = self.config
-        self._bloom = bloom_ops.ShardedBloom(
-            cfg.bloom_shards, cfg.bloom_bits_per_shard, cfg.bloom_hashes
+        self._bloom = bloom_ops.GenerationalBloom(
+            cfg.bloom_shards, cfg.bloom_bits_per_shard, cfg.bloom_hashes,
+            grow_at_fill=cfg.bloom_grow_at_fill,
         )
-        obs = Observation("seed")
-        pending = pending.observe(obs, F.count(F.lit(1)).alias("n"))
         self.store.stage_snapshot("frontier", pending, 0)
-        n_seeds = int(obs.get["n"])  # observed during the snapshot write
+        rank_cache.unpersist()
         self.order_counter = n_seeds
         self._pending_count = n_seeds
         self.store.stage_blob("bloom", self._bloom.to_bytes(), 0)
@@ -272,7 +284,7 @@ class CrawlEngine:
         self._any_host_errors = bool(c.get("any_host_errors", True))
         self.accept_set = list(c["accept_set"])
         blob = self.store.read_blob(last)
-        self._bloom = bloom_ops.ShardedBloom.from_bytes(blob)
+        self._bloom = bloom_ops.bloom_from_bytes(blob)
         return last
 
     # ------------------------------------------------------------------
@@ -290,17 +302,18 @@ class CrawlEngine:
             return [F.col("path_key")]
         return [F.col("priority"), F.col("order_key")]
 
-    def _select_wave(self, pending: DataFrame) -> DataFrame:
+    def _select_wave(self, pending: DataFrame) -> tuple[DataFrame, int]:
+        """Returns (wave, approx_rows) — approx_rows is an upper bound on the
+        wave size (the binding limit, else the exact pending count), used by
+        the fetcher to pick broadcast vs shuffle join."""
         cfg = self.config
         cand = pending
 
-        if self._is_dfs():
-            # DFS dedups at VISIT time (Guava preorder yields on first
-            # encounter), so pending may hold the same URL via several paths;
-            # drop entries whose hash was already visited before popping.
-            seen_tbl = self.store.read("seen")
-            if seen_tbl is not None:
-                cand = cand.join(seen_tbl.select("url_hash"), "url_hash", "left_anti")
+        # DFS visit-time dedup (Guava preorder yields on first encounter):
+        # pending may hold the same URL via several paths. No extra gate is
+        # needed here — when one copy pops, step()'s next_pending anti-join
+        # on url_hash removes EVERY pending copy of that hash, so a second
+        # copy can never be popped later (pinned by the two-path DFS test).
 
         # per-host crawl-delay (north rule, opt-in): a host fetched at
         # logical time t is DEFERRED — rows stay pending, not consumed —
@@ -330,6 +343,13 @@ class CrawlEngine:
         # gate already fired when they were popped — our wave membership is
         # the pop), so they're still selected but not fetched; the fetch gate
         # happens in step(). Here we only apply scheduling windows.
+        # NOTE crawl-delay scope: enforce_crawl_delay is a PER-LOGICAL-TICK
+        # guarantee — a host fetched at tick t is not fetched at any later
+        # tick before t+delay. Fetches within ONE wave share a tick and are
+        # deliberately allowed (they model one connection burst, bounded by
+        # per_host_budget / the max_connections wave cap, like the
+        # reference's token pool, JCrawler.java:868). For strictly serial
+        # per-host fetching set per_host_budget=1 (DIVERGENCES.md #13).
         if cfg.per_host_budget is not None:
             b = cfg.per_host_budget
             nsalt = cfg.skew_salt_buckets
@@ -347,8 +367,9 @@ class CrawlEngine:
         limit = None
         if self._is_dfs():
             limit = 1  # sequential by definition (single stack pop)
-        if cfg.wave_budget is not None:
-            limit = min(limit or cfg.wave_budget, cfg.wave_budget)
+        wave_budget = cfg.effective_wave_budget()
+        if wave_budget is not None:
+            limit = min(limit or wave_budget, wave_budget)
         remaining = cfg.max_docs - self.emitted_count
         limit = min(limit, remaining) if limit is not None else remaining
         # only pay the global TakeOrdered when a cap actually binds — an
@@ -356,7 +377,10 @@ class CrawlEngine:
         # order_key at emission time)
         if limit is not None and limit < self._pending_count:
             cand = cand.orderBy(*self._order_cols()).limit(int(limit))
-        return cand
+        approx = self._pending_count
+        if limit is not None:
+            approx = min(approx, int(limit))
+        return cand, max(approx, 1)
 
     # ------------------------------------------------------------------
     # one superstep
@@ -384,7 +408,8 @@ class CrawlEngine:
         if not is_dfs and self._pending_count == 0:
             return None
 
-        wave = self._select_wave(pending).persist()
+        wave, approx_rows = self._select_wave(pending)
+        wave = wave.persist()
         if is_dfs:
             wave_n = wave.count()
             if wave_n == 0:
@@ -446,13 +471,31 @@ class CrawlEngine:
         to_fetch = gated.where(gate_ok)
         skipped = gated.where(~gate_ok)
 
-        # ---- fetch (S8) ----
-        # cache only the html-free projection: the html column is consumed
-        # exactly once (extraction), and caching multi-KB bodies would blow
-        # the storage budget; column pruning keeps the metadata branch from
-        # ever reading html
-        fetched_full = self.fetcher.fetch(to_fetch)
-        fetched = fetched_full.drop("html", "text").persist()
+        # ---- fetch + extract in ONE pass (S8 + §2.3) ----
+        # The fetch join and the extraction UDF run in the same job: html is
+        # read exactly once, links land in a column, and only the html-free
+        # projection (metadata + links array) is persisted. This halves the
+        # corpus probes per superstep and makes the links column part of the
+        # pages delta (S11 links.json memoization, JCrawler.java:1379-1398).
+        try:
+            fetched_full = self.fetcher.fetch(to_fetch, approx_rows=approx_rows)
+        except TypeError:  # legacy fetcher without the approx_rows hint
+            fetched_full = self.fetcher.fetch(to_fetch)
+        extracted = extract.extract_links_dedup_udf(
+            "html", "url", "status", "content_type", "location"
+        )
+        if "links" in fetched_full.columns and not cfg.recompute_links:
+            # cache-backed fetcher (CachedFetcher): reuse memoized links for
+            # hits; misses carry links=NULL and extract as usual. Hit rows
+            # have html=NULL so the extraction UDF is a no-op on them.
+            links_col = F.coalesce(F.col("links"), extracted)
+        else:
+            links_col = extracted
+        fetched = (
+            fetched_full.withColumn("links", links_col)
+            .drop("html", "text")
+            .persist()
+        )
 
         # lineage collect doubles as the count action (rows are ≤ #partitions)
         lineage_rows = (
@@ -466,14 +509,14 @@ class CrawlEngine:
         )
         fetch_n = sum(r["rows_in"] for r in lineage_rows)
         err_n = sum(r["errors"] for r in lineage_rows)
-        _tick("fetch+lineage collect", tick)
+        _tick("fetch+extract+lineage", tick)
 
         # one consolidated wave-result delta: every popped URL (fetched or
         # gate-skipped) — this IS the seen delta AND the emission record
         page_cols = [
             "url", "url_hash", "host", "depth", "is_resource", "is_redirect",
             "src_url", "order_key", "path_key",
-            "status", "content_type", "location", "error",
+            "status", "content_type", "location", "error", "links",
         ]
         pages_delta = (
             fetched.select(
@@ -488,27 +531,24 @@ class CrawlEngine:
                     F.lit(None).cast("string").alias("content_type"),
                     F.lit(None).cast("string").alias("location"),
                     F.lit(None).cast("string").alias("error"),
+                    F.lit(None).cast(schemas.LINKS_ARRAY).alias("links"),
                     F.lit(True).alias("skipped"),
                     F.lit(s).alias("superstep"),
                 )
             )
         )
 
-        # ---- extraction (JCrawler.java:1395-1450): errors → no links.
-        # Self-filter (F8) + per-page first-wins dedup (A1) run inside the
-        # Arrow batch (JCrawler.java:1233-1238) — no shuffle needed: the
-        # whole page's link list is local to the UDF call. ----
-        links_src = fetched_full.where(F.col("error").isNull())
-        links = links_src.select(
+        # ---- successor pipeline (JCrawler.java:1395-1450): errors → no
+        # links (their links array is empty — null html extracts nothing).
+        # Self-filter (F8) + per-page first-wins dedup (A1) already ran
+        # inside the Arrow batch (JCrawler.java:1233-1238) — no shuffle:
+        # the whole page's link list was local to the UDF call. ----
+        links = fetched.where(F.col("error").isNull()).select(
             F.col("url").alias("src_url"),
             F.col("depth").alias("src_depth"),
             F.col("order_key").alias("src_order_key"),
             F.col("path_key").alias("src_path_key"),
-            F.explode(
-                extract.extract_links_dedup_udf(
-                    "html", "url", "status", "content_type", "location"
-                )
-            ).alias("l"),
+            F.explode("links").alias("l"),
         ).select(
             "src_url",
             "src_depth",
@@ -558,7 +598,7 @@ class CrawlEngine:
             )
             seen_tbl = self._seen_hashes()
             if cfg.bloom_enabled and self._bloom is not None:
-                cand = bloom_ops.prefilter_unseen(self.spark, cand, self._bloom)
+                cand = bloom_ops.prefilter_auto(self.spark, cand, self._bloom)
                 maybe = cand.where(F.col("maybe_seen")).drop("maybe_seen")
                 fresh = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
                 if seen_tbl is not None:
@@ -637,6 +677,9 @@ class CrawlEngine:
             )
             for shard, bitmap in incs:
                 self._bloom.merge_shard(shard, bitmap)
+            # saturation check: grow a fresh 4x generation when the current
+            # one crosses the fill threshold (loud, never silent)
+            self._bloom.maybe_grow()
 
         # ---- lineage from the already-collected per-partition rows ----
         wall_ms = int((time.monotonic() - t0) * 1000)
@@ -702,13 +745,16 @@ class CrawlEngine:
         df = self.store.read("pages")
         return None if df is None else df.select("url_hash")
 
-    def requeue_expired(self, max_age_supersteps: int) -> int:
+    def requeue_expired(self, max_age_supersteps: int | None = None) -> int:
         """S10 cache-expiry re-fetch (JCrawler.forceDownload,
         JCrawler.java:762-788): URLs whose LATEST fetch happened more than
         `max_age_supersteps` logical steps ago move back to pending. The
         re-fetch appends a fresh pages row — the URL re-emits, exactly like
         the reference re-downloading an expired cache entry. Committed as a
-        maintenance superstep (frontier snapshot only)."""
+        maintenance superstep (frontier snapshot only). Default age =
+        config.cache_expiry_seconds on the logical clock (--expire)."""
+        if max_age_supersteps is None:
+            max_age_supersteps = self.config.cache_expiry_supersteps()
         s = self.superstep
         pages = self.store.read("pages")
         if pages is None:

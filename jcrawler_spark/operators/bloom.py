@@ -110,6 +110,131 @@ class ShardedBloom:
         return float(np.unpackbits(self.arr).mean())
 
 
+class GenerationalBloom:
+    """Scalable Bloom filter (Almeida et al., 'Scalable Bloom Filters',
+    IPL 2007 — public): a CHAIN of ShardedBloom generations. Inserts go to
+    the newest generation; when its fill ratio crosses `grow_at_fill`, a
+    fresh generation with 4× the bits is appended (old generations are
+    frozen — a Bloom can't be resized in place without the original keys).
+    Membership = maybe-in ANY generation; false negatives stay impossible.
+
+    This removes the round-1 failure mode (silent saturation at ≥10^8 seen
+    URLs: fill→1, prefilter selectivity→0): growth keeps the newest
+    generation's false-positive rate bounded, and crossing the threshold is
+    LOUD (a warnings.warn plus the `grew` flag for engine lineage).
+    n_shards is fixed across generations so the shard route of a key never
+    changes — only m_bits grows."""
+
+    MAGIC = b"GBL1"
+
+    def __init__(
+        self,
+        n_shards: int = 8,
+        m_bits: int = 1 << 20,
+        k: int = 5,
+        grow_at_fill: float | None = 0.5,
+    ):
+        self.grow_at_fill = grow_at_fill
+        self.generations: list[ShardedBloom] = [ShardedBloom(n_shards, m_bits, k)]
+
+    # ---- current-generation facade (engine inserts go here) ----
+
+    @property
+    def current(self) -> ShardedBloom:
+        return self.generations[-1]
+
+    @property
+    def n_shards(self) -> int:
+        return self.current.n_shards
+
+    @property
+    def m_bits(self) -> int:
+        return self.current.m_bits
+
+    @property
+    def k(self) -> int:
+        return self.current.k
+
+    def merge_shard(self, shard: int, bitmap: bytes) -> None:
+        self.current.merge_shard(shard, bitmap)
+
+    def add_hexes(self, hexes: Iterable[str]) -> None:
+        self.current.add_hexes(hexes)
+
+    def maybe_grow(self) -> bool:
+        """Append a 4×-bits generation when the current one crosses the
+        fill threshold. Returns True (and warns) when growth happened."""
+        if self.grow_at_fill is None:
+            return False
+        fill = self.current.fill_ratio()
+        if fill < self.grow_at_fill:
+            return False
+        import warnings
+
+        cur = self.current
+        self.generations.append(ShardedBloom(cur.n_shards, cur.m_bits * 4, cur.k))
+        warnings.warn(
+            f"Bloom generation {len(self.generations) - 1} saturated "
+            f"(fill={fill:.2f} ≥ {self.grow_at_fill}); grew to "
+            f"{cur.m_bits * 4} bits/shard × {cur.n_shards} shards",
+            stacklevel=2,
+        )
+        return True
+
+    def fill_ratio(self) -> float:
+        return self.current.fill_ratio()
+
+    def total_bytes(self) -> int:
+        return sum(g.arr.nbytes for g in self.generations)
+
+    def contains_hexes(self, hexes: Iterable[str]) -> np.ndarray:
+        hexes = list(hexes)
+        out = np.zeros(len(hexes), dtype=bool)
+        for g in self.generations:
+            out |= g.contains_hexes(hexes)
+        return out
+
+    # ---- serialization (blob sidecar) ----
+
+    def to_bytes(self) -> bytes:
+        parts = [self.MAGIC, np.uint32(len(self.generations)).tobytes()]
+        grow = -1.0 if self.grow_at_fill is None else self.grow_at_fill
+        parts.append(np.float64(grow).tobytes())
+        for g in self.generations:
+            blob = g.to_bytes()
+            parts.append(np.uint64(len(blob)).tobytes())
+            parts.append(blob)
+        return b"".join(parts)
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "GenerationalBloom":
+        if not blob.startswith(cls.MAGIC):
+            # legacy single-generation snapshot (round-1 state dirs)
+            b = cls.__new__(cls)
+            b.grow_at_fill = 0.5
+            b.generations = [ShardedBloom.from_bytes(blob)]
+            return b
+        off = len(cls.MAGIC)
+        n = int(np.frombuffer(blob[off : off + 4], dtype=np.uint32)[0])
+        off += 4
+        grow = float(np.frombuffer(blob[off : off + 8], dtype=np.float64)[0])
+        off += 8
+        b = cls.__new__(cls)
+        b.grow_at_fill = None if grow < 0 else grow
+        b.generations = []
+        for _ in range(n):
+            ln = int(np.frombuffer(blob[off : off + 8], dtype=np.uint64)[0])
+            off += 8
+            b.generations.append(ShardedBloom.from_bytes(blob[off : off + ln]))
+            off += ln
+        return b
+
+
+def bloom_from_bytes(blob: bytes) -> "GenerationalBloom":
+    """Deserialize any committed bloom sidecar (generational or legacy)."""
+    return GenerationalBloom.from_bytes(blob)
+
+
 def shard_col(url_hash: Column, n_shards: int) -> Column:
     """JVM-side shard id matching _hashes()[0] % n_shards: first 64 hash bits
     interpreted as unsigned — conv() yields the unsigned value as DECIMAL so
@@ -147,18 +272,87 @@ def build_shard_increments(
 
 
 def prefilter_unseen(
-    spark: SparkSession, candidates: DataFrame, bloom: ShardedBloom, col: str = "url_hash"
+    spark: SparkSession, candidates: DataFrame, bloom, col: str = "url_hash"
 ) -> DataFrame:
-    """Keep only rows the Bloom does NOT contain (definitely-unseen) plus
-    rows it reports as maybe-seen are dropped — callers must ALSO keep the
-    exact anti-join for the survivors' correctness; this merely shrinks its
-    probe side. Returns candidates with maybe-seen rows removed *optimistically*:
-    a `maybe_seen` column is added and callers filter/branch on it."""
+    """Broadcast prefilter: adds a `maybe_seen` column; callers must ALSO
+    keep the exact anti-join for maybe-seen survivors — this merely shrinks
+    its probe side (false positives resolved there; false negatives
+    impossible). Right while the whole filter fits an executor heap."""
     blob = spark.sparkContext.broadcast(bloom.to_bytes())
 
     @F.pandas_udf("boolean")
     def maybe_seen(h: pd.Series) -> pd.Series:
-        b = ShardedBloom.from_bytes(blob.value)
+        b = GenerationalBloom.from_bytes(blob.value)
         return pd.Series(b.contains_hexes(h))
 
     return candidates.withColumn("maybe_seen", maybe_seen(F.col(col)))
+
+
+# above this many filter bytes the engine switches to the shard-join form
+BROADCAST_BLOOM_MAX_BYTES = 64 << 20
+
+
+def prefilter_unseen_sharded(
+    candidates: DataFrame, bloom: "GenerationalBloom", col: str = "url_hash"
+) -> DataFrame:
+    """Shard-JOIN prefilter — the 10^10-frontier form: no task ever holds
+    more than ONE shard's bitmaps. Candidates are cogrouped with a
+    (shard, generation, bitmap) table on the shard id; each Arrow task
+    probes its own shard's bitmap chain. At n_shards≈4096 × m=2^30 the
+    shard table is an Iceberg sidecar instead of a createDataFrame — the
+    plan shape (shuffle by shard, local probe) is identical.
+
+    Output contract matches prefilter_unseen: candidates + `maybe_seen`."""
+    spark = candidates.sparkSession
+    n_shards = bloom.n_shards
+    rows = [
+        (si, gi, g.m_bits, g.k, bytes(g.arr[si].tobytes()))
+        for gi, g in enumerate(bloom.generations)
+        for si in range(g.n_shards)
+    ]
+    shards_df = spark.createDataFrame(
+        rows, "shard int, gen int, m_bits long, k int, bitmap binary"
+    )
+    cand = candidates.withColumn("__shard", shard_col(F.col(col), n_shards))
+    out_schema = T.StructType(
+        [f for f in cand.schema.fields if f.name != "__shard"]
+        + [T.StructField("maybe_seen", T.BooleanType(), False)]
+    )
+    keep_cols = [f.name for f in cand.schema.fields if f.name != "__shard"]
+
+    def probe(cand_pdf: pd.DataFrame, shard_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(cand_pdf) == 0:
+            return pd.DataFrame(columns=keep_cols + ["maybe_seen"])
+        seen = np.zeros(len(cand_pdf), dtype=bool)
+        hexes = list(cand_pdf[col])
+        for _, srow in shard_pdf.iterrows():
+            m_bits, k = int(srow["m_bits"]), int(srow["k"])
+            bitmap = np.frombuffer(bytes(srow["bitmap"]), dtype=np.uint8)
+            for i, h in enumerate(hexes):
+                if seen[i]:
+                    continue
+                _, pos = positions(h, n_shards, m_bits, k)
+                bits = (bitmap[pos // 8] >> (pos % 8).astype(np.uint8)) & 1
+                if bits.all():
+                    seen[i] = True
+        out = cand_pdf[keep_cols].copy()
+        out["maybe_seen"] = seen
+        return out
+
+    return (
+        cand.groupBy("__shard")
+        .cogroup(shards_df.groupBy("shard"))
+        .applyInPandas(probe, schema=out_schema)
+    )
+
+
+def prefilter_auto(
+    spark: SparkSession, candidates: DataFrame, bloom, col: str = "url_hash"
+) -> DataFrame:
+    """Broadcast below BROADCAST_BLOOM_MAX_BYTES, shard-join above."""
+    if (
+        hasattr(bloom, "total_bytes")
+        and bloom.total_bytes() > BROADCAST_BLOOM_MAX_BYTES
+    ):
+        return prefilter_unseen_sharded(candidates, bloom, col)
+    return prefilter_unseen(spark, candidates, bloom, col)

@@ -138,35 +138,96 @@ def minhash_signatures(
     return out.drop("sh")
 
 
+def _band_keys(sigs: DataFrame, n_perm: int, band_size: int) -> DataFrame:
+    """(id, band, bh) in ONE pass over the signatures: each row explodes
+    into its n_bands keys (the previous union-of-selects recomputed the
+    whole minhash pipeline once per band per join side)."""
+    n_bands = n_perm // band_size
+    structs = []
+    for b in range(n_bands):
+        cols = [
+            F.col(f"mh{b * band_size + j}").cast("string")
+            for j in range(band_size)
+        ]
+        structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                hash60(F.concat_ws(",", *cols)).alias("bh"),
+            )
+        )
+    return sigs.select("id", F.explode(F.array(*structs)).alias("k")).select(
+        "id", F.col("k.band").alias("band"), F.col("k.bh").alias("bh")
+    )
+
+
 def lsh_candidate_pairs(
-    sigs: DataFrame, n_perm: int = 8, band_size: int = 2
+    sigs: DataFrame,
+    n_perm: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = 64,
 ) -> DataFrame:
     """Band the signature, bucket-join within (band, band_hash): the classic
     MinHash-LSH candidate generation. Output (id_a, id_b) with id_a < id_b,
-    distinct."""
-    n_bands = n_perm // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            sigs.select(
-                "id",
-                F.lit(b).alias("band"),
-                hash60(F.concat_ws(",", *[c.cast("string") for c in cols])).alias(
-                    "bh"
-                ),
-            )
+    distinct.
+
+    Mega-bucket defusal (the 100 TB LSH skew bomb: boilerplate-heavy web
+    text puts millions of near-identical docs in ONE bucket, and a clique
+    self-join is O(bucket²)): buckets larger than `max_bucket` emit a STAR
+    instead of a clique — every member pairs with the bucket's min id, so
+    the pair count is O(bucket) while the connected components (what dedup
+    keeps/drops) are IDENTICAL to the clique's. Pairwise recall inside
+    oversized buckets drops from all-pairs to hub-pairs; this is never
+    silent — call `lsh_bucket_stats` for the affected bucket/row counts,
+    and set max_bucket=None for exact all-pairs semantics (the SQL oracle's
+    form; test data stays far below the default cap)."""
+    bands = _band_keys(sigs, n_perm, band_size)
+    if max_bucket is not None:
+        wb = Window.partitionBy("band", "bh")
+        wo = wb.orderBy("id")
+        bands = (
+            bands.withColumn("bsz", F.count("*").over(wb))
+            .withColumn("brn", F.row_number().over(wo))
         )
-    all_bands = bands[0]
-    for b in bands[1:]:
-        all_bands = all_bands.unionByName(b)
-    left = all_bands.withColumnsRenamed({"id": "id_a"})
-    right = all_bands.withColumnsRenamed({"id": "id_b"})
-    return (
-        left.join(right, ["band", "bh"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        small = bands.where(F.col("bsz") <= max_bucket)
+        big = bands.where(F.col("bsz") > max_bucket)
+        sl = small.select("band", "bh", F.col("id").alias("id_a"))
+        sr = small.select("band", "bh", F.col("id").alias("id_b"))
+        clique = (
+            sl.join(sr, ["band", "bh"]).where(F.col("id_a") < F.col("id_b"))
+        )
+        hub = big.where(F.col("brn") == 1).select(
+            "band", "bh", F.col("id").alias("id_a")
+        )
+        spokes = big.where(F.col("brn") > 1).select(
+            "band", "bh", F.col("id").alias("id_b")
+        )
+        star = hub.join(spokes, ["band", "bh"])
+        pairs = clique.unionByName(star)
+    else:
+        left = bands.withColumnsRenamed({"id": "id_a"})
+        right = bands.withColumnsRenamed({"id": "id_b"})
+        pairs = left.join(right, ["band", "bh"]).where(
+            F.col("id_a") < F.col("id_b")
+        )
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def lsh_bucket_stats(
+    sigs: DataFrame, n_perm: int = 8, band_size: int = 2, max_bucket: int = 64
+) -> DataFrame:
+    """Per-threshold bucket accounting so capped runs are never silent:
+    (n_buckets, n_rows, n_over_cap_buckets, n_over_cap_rows, max_bucket_sz)."""
+    sizes = _band_keys(sigs, n_perm, band_size).groupBy("band", "bh").count()
+    return sizes.agg(
+        F.count("*").alias("n_buckets"),
+        F.sum("count").alias("n_rows"),
+        F.count(F.when(F.col("count") > max_bucket, 1)).alias(
+            "n_over_cap_buckets"
+        ),
+        F.sum(F.when(F.col("count") > max_bucket, F.col("count"))).alias(
+            "n_over_cap_rows"
+        ),
+        F.max("count").alias("max_bucket_sz"),
     )
 
 

@@ -92,3 +92,66 @@ def test_jvm_shard_col_matches_python(spark):
     for r in got:
         exp, _ = bloom.positions(r["url_hash"], 7, 1 << 10, 3)
         assert r["shard"] == exp
+
+
+def test_generational_growth_and_membership(spark):
+    from jcrawler_spark.operators.bloom import GenerationalBloom
+    import warnings
+
+    import hashlib
+
+    b = GenerationalBloom(n_shards=2, m_bits=256, k=3, grow_at_fill=0.3)
+    first = [hashlib.sha256(f"k{i}".encode()).hexdigest() for i in range(60)]
+    b.add_hexes(first)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        grew = b.maybe_grow()
+    assert grew and len(b.generations) == 2
+    assert any("saturated" in str(x.message) for x in w)
+    assert b.current.m_bits == 1024  # 4x growth
+    second = [hashlib.sha256(f"k{i}".encode()).hexdigest() for i in range(60, 90)]
+    b.add_hexes(second)  # go to the NEW generation
+    # membership spans generations; no false negatives ever
+    assert b.contains_hexes(first).all()
+    assert b.contains_hexes(second).all()
+    # roundtrip
+    b2 = GenerationalBloom.from_bytes(b.to_bytes())
+    assert len(b2.generations) == 2
+    assert b2.contains_hexes(first).all() and b2.contains_hexes(second).all()
+
+
+def test_legacy_blob_roundtrip():
+    from jcrawler_spark.operators.bloom import GenerationalBloom, ShardedBloom
+
+    old = ShardedBloom(2, 256, 3)
+    old.add_hexes([f"{i:064x}" for i in range(10)])
+    b = GenerationalBloom.from_bytes(old.to_bytes())
+    assert len(b.generations) == 1
+    assert b.contains_hexes([f"{i:064x}" for i in range(10)]).all()
+
+
+def test_sharded_prefilter_matches_broadcast(spark):
+    from jcrawler_spark.operators import bloom as bloom_ops
+    from jcrawler_spark.operators.bloom import GenerationalBloom
+    import hashlib
+
+    b = GenerationalBloom(n_shards=4, m_bits=2048, k=3, grow_at_fill=0.9)
+    seen_hashes = [hashlib.sha256(f"u{i}".encode()).hexdigest() for i in range(200)]
+    b.add_hexes(seen_hashes)
+    b.maybe_grow()
+    probe = seen_hashes[:50] + [
+        hashlib.sha256(f"new{i}".encode()).hexdigest() for i in range(50)
+    ]
+    df = spark.createDataFrame([(h,) for h in probe], ["url_hash"])
+    via_bcast = {
+        r["url_hash"]: r["maybe_seen"]
+        for r in bloom_ops.prefilter_unseen(spark, df, b).collect()
+    }
+    via_shard = {
+        r["url_hash"]: r["maybe_seen"]
+        for r in bloom_ops.prefilter_unseen_sharded(df, b).collect()
+    }
+    assert via_bcast == via_shard
+    # all genuinely-seen rows flagged (no false negatives)
+    for h in seen_hashes[:50]:
+        assert via_bcast[h] is True

@@ -127,3 +127,43 @@ def test_decode_media_is_stubbed():
     import pytest
     with pytest.raises(NotImplementedError):
         multimodal.decode_media(b"xx", "image/png")
+
+
+def test_lsh_mega_bucket_star_collapse(spark):
+    """1,000 identical docs share every band bucket; with the cap the pair
+    count is linear (star), the connected component is intact, and the run
+    finishes in bounded time (the uncapped clique would be ~500k pairs per
+    band)."""
+    text = "same boilerplate web text repeated on every single page here"
+    rows = [(i, text) for i in range(1000)] + [(5000, "totally different")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(df, k=3, n_perm=4)
+    pairs = dedup.lsh_candidate_pairs(
+        sigs, n_perm=4, band_size=2, max_bucket=64
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # star: every duplicate pairs with the hub (min id 0) — one component
+    assert got == {(0, i) for i in range(1, 1000)}
+    # stats are loud about the cap
+    st = dedup.lsh_bucket_stats(sigs, n_perm=4, band_size=2, max_bucket=64).collect()[0]
+    assert st["n_over_cap_buckets"] == 2  # both bands, one mega bucket each
+    assert st["max_bucket_sz"] == 1000
+
+
+def test_lsh_cap_no_effect_below_threshold(spark):
+    """With all buckets under the cap, capped and uncapped outputs are
+    identical (the SQL oracle runs the uncapped form)."""
+    rows = [(i, f"doc number {i} words {'x ' * (i % 5)}") for i in range(40)]
+    rows += [(100, "twin text alpha beta"), (101, "twin text alpha beta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = dedup.minhash_signatures(df, k=3, n_perm=8)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, max_bucket=64).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sigs, max_bucket=None).collect()
+    }
+    assert capped == uncapped
+    assert (100, 101) in capped

@@ -17,7 +17,7 @@ ACCEPTS = [f"host{i}.example" for i in range(H)]
 
 def _run(spark, tmp_path, name, **cfg_kwargs):
     pages = corpus.build_pages_df(spark, N, H, partitions=4)
-    cfg = CrawlConfig(accept=ACCEPTS, max_docs=500, **cfg_kwargs)
+    cfg = CrawlConfig(accept=ACCEPTS, max_docs=500, max_connections=None, **cfg_kwargs)
     root = str(tmp_path / name)
     shutil.rmtree(root, ignore_errors=True)
     eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages), root)

@@ -53,7 +53,7 @@ def _run(spark, pages_df, tmp_path, cfg, failing=None, max_supersteps=40):
 
 
 def test_bfs_matches_fifo_and_wave_oracle(spark, pages_df, pages_local, tmp_path):
-    cfg = CrawlConfig(accept=ACCEPTS, max_docs=500)
+    cfg = CrawlConfig(accept=ACCEPTS, max_docs=500, max_connections=None)
     eng = _run(spark, pages_df, tmp_path, cfg)
     emitted = eng.emitted_urls()
     aset = _accept_set()
@@ -93,7 +93,7 @@ def test_budgets_and_failing_host(spark, pages_df, pages_local, tmp_path):
 
 
 def test_max_docs_truncation(spark, pages_df, pages_local, tmp_path):
-    cfg = CrawlConfig(accept=ACCEPTS, max_docs=7)
+    cfg = CrawlConfig(accept=ACCEPTS, max_docs=7, max_connections=None)
     eng = _run(spark, pages_df, tmp_path, cfg)
     fifo = fifo_bfs_oracle(pages_local, _seeds(), _accept_set(), max_docs=7)
     assert eng.emitted_urls() == fifo
@@ -103,7 +103,7 @@ def test_max_docs_truncation(spark, pages_df, pages_local, tmp_path):
 def test_checkpoint_resume_equivalence(spark, pages_df, tmp_path):
     """Kill after superstep k, resume from snapshot, assert identical final
     emission + frontier state (FIXTURES.md §6 resume-equivalence)."""
-    cfg = CrawlConfig(accept=ACCEPTS, max_docs=500)
+    cfg = CrawlConfig(accept=ACCEPTS, max_docs=500, max_connections=None)
     root_a = str(tmp_path / "a")
     eng_a = CrawlEngine(spark, cfg, SyntheticFetcher(pages_df), root_a)
     eng_a.run(seeds=_seeds(), max_supersteps=40)

@@ -19,7 +19,7 @@ ACCEPTS = [f"host{i}.example" for i in range(H)]
 
 def test_requeue_expired_recrawls_everything(spark, tmp_path):
     pages = corpus.build_pages_df(spark, N, H, partitions=4).cache()
-    cfg = CrawlConfig(accept=ACCEPTS, max_docs=10_000)
+    cfg = CrawlConfig(accept=ACCEPTS, max_docs=10_000, max_connections=None)
     root = str(tmp_path / "st")
     shutil.rmtree(root, ignore_errors=True)
     eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages), root)

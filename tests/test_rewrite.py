@@ -55,7 +55,7 @@ def test_localization_invariant_over_crawled_corpus(spark, tmp_path):
     localized page (external domains are the allowed exception)."""
     N, H = 120, 8
     pages_df = corpus.build_pages_df(spark, N, H, partitions=4).cache()
-    cfg = CrawlConfig(accept=[f"host{i}.example" for i in range(H)], max_docs=500)
+    cfg = CrawlConfig(accept=[f"host{i}.example" for i in range(H)], max_docs=500, max_connections=None)
     root = str(tmp_path / "state")
     shutil.rmtree(root, ignore_errors=True)
     eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages_df), root)
@@ -83,3 +83,53 @@ def test_localization_invariant_over_crawled_corpus(spark, tmp_path):
     paths = [r["path"] for r in local]
     assert len(paths) == len(set(paths))
     pages_df.unpersist()
+
+
+def test_srcset_rewrite_golden():
+    """Relative AND absolute srcset candidates localize, descriptors kept,
+    commas inside URLs survive (Rewriter.java:284-360 + Wix golden)."""
+    url_map = {
+        "https://s.example/media/a,b.jpg": "s.example/media/a,b.jpg",
+        "https://s.example/img/two.png": "s.example/img/two.png",
+        "https://s.example/page/1": "s.example/page/1.html",
+    }
+    html = (
+        '<img srcset="https://s.example/media/a,b.jpg 1x, /img/two.png 2x">'
+        "<source srcset='https://unknown.example/x.jpg 1x'>"
+    )
+    out = rewrite.rewrite_html_py(html, "https://s.example/page/1", url_map)
+    assert '<img srcset="../media/a,b.jpg 1x, ../img/two.png 2x">' in out
+    # unknown srcset URL untouched
+    assert "https://unknown.example/x.jpg 1x" in out
+
+
+def test_srcset_split_reference_delimiters():
+    s = (
+        "https://h.example/media/a.jpg/v1/fill,w_60,h_60/a.jpg 1x, "
+        "https://h.example/media/a.jpg/v1/fill,w_120,h_120/a.jpg 2x"
+    )
+    assert rewrite.split_srcset(s) == [
+        "https://h.example/media/a.jpg/v1/fill,w_60,h_60/a.jpg 1x",
+        "https://h.example/media/a.jpg/v1/fill,w_120,h_120/a.jpg 2x",
+    ]
+
+
+def test_join_strategy_equals_broadcast(spark):
+    """The no-broadcast join strategy must produce byte-identical localized
+    output to the broadcast strategy over the full synthetic corpus
+    (VERDICT round-1 item 2: the scale path must be real, not documented)."""
+    pages = corpus.build_pages_df(spark, 150, 8, partitions=4).select(
+        "url", "html", "status", "content_type"
+    ).cache()
+    a = {
+        r["url"]: (r["path"], r["html_local"])
+        for r in rewrite.localize(pages, strategy="broadcast").collect()
+    }
+    b = {
+        r["url"]: (r["path"], r["html_local"])
+        for r in rewrite.localize(pages, strategy="join").collect()
+    }
+    pages.unpersist()
+    assert a.keys() == b.keys()
+    diff = [u for u in a if a[u] != b[u]]
+    assert diff == [], f"strategy mismatch for {diff[:3]}: {a[diff[0]]} vs {b[diff[0]]}" if diff else ""
