@@ -966,6 +966,124 @@ def q_crawl_wave(spark, sf_dir):
     )
 
 
+
+# crawl_wave expected rows derived from the INDEPENDENT pure-Python oracle
+# (tests/crawl_oracle._links_of over corpus.local_pages): the wave-1
+# expansion of the deterministic corpus is closed-form, so the oracle is a
+# pinned VALUES table (regenerate: tools/gen_crawl_oracles.py).
+_CRAWL_WAVE_SQL = """
+SELECT url, depth, is_resource, is_redirect, url_hash FROM (VALUES
+  ('https://host0.example/p/1/1', 1::BIGINT, false, false, 'c356c3e1bc64ac392b1c0797396a91d2d217cad6e6b00d6410acb4c0879b0904'),
+  ('https://host6.example/p/1/2', 1::BIGINT, false, false, '1bb175111edb6ebd4f8a0582c5e49025c54499e1d7cfb27fa9a175d46e7ac2d7'),
+  ('https://host6.example/p/1/3', 1::BIGINT, false, false, '5d60433fd1a0a4cbe0ff11aba435d5e9617df1a629b3205f705303a2ccbcb4eb'),
+  ('https://host0.example/static/img0.png', 1::BIGINT, true, false, 'd8d446c7cdab9897633d70dfa74b2299a67aa998ede1d07ee83866b194e2e4a5')
+) AS t(url, depth, is_resource, is_redirect, url_hash)
+"""
+
+
+def q_crawl_emission(spark, sf_dir):
+    """Driver-verified ENGINE run (the strongest contract row): a BFS crawl
+    of the deterministic 500-page corpus — wave budget 20, 60 docs —
+    through the full superstep engine (politeness window, Bloom+anti-join
+    seen gate, Arrow extraction, ranked frontier, snapshot commits).
+    Returns the exact emission order. Oracle: the pure-Python FIFO/wave
+    oracle (tests/crawl_oracle.py, an independent implementation of
+    ParallelGraphTraverser semantics) serialized as VALUES."""
+    import shutil
+    import tempfile
+
+    from jcrawler_spark.config import CrawlConfig
+    from jcrawler_spark.engine import CrawlEngine, SyntheticFetcher
+
+    pages = corpus.build_pages_df(spark, 500, 8, partitions=8)
+    root = tempfile.mkdtemp(prefix="jcrawler-contract-")
+    try:
+        cfg = CrawlConfig(
+            accept=[f"host{i}.example" for i in range(8)],
+            max_docs=60,
+            wave_budget=20,
+        )
+        eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages), root)
+        eng.run(seeds=[corpus.url_of(0, 8)], max_supersteps=30)
+        w = Window.orderBy("superstep", "order_key")  # 60 rows; contract only
+        rows = (
+            eng.emitted()
+            .select("url", "url_hash", "superstep", "order_key")
+            .withColumn("seq", (F.row_number().over(w) - 1).cast("long"))
+            .select("seq", "url", "url_hash")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(rows, "seq bigint, url string, url_hash string")
+
+
+_CRAWL_EMISSION_SQL = """
+SELECT seq, url, url_hash FROM (VALUES
+  (0, 'https://host0.example/p/0/0', '446f184d6a524623936591d7d0bd5e9b21140c916f24451c4a20158b3978db7a'),
+  (1, 'https://host0.example/p/1/1', 'c356c3e1bc64ac392b1c0797396a91d2d217cad6e6b00d6410acb4c0879b0904'),
+  (2, 'https://host6.example/p/1/2', '1bb175111edb6ebd4f8a0582c5e49025c54499e1d7cfb27fa9a175d46e7ac2d7'),
+  (3, 'https://host6.example/p/1/3', '5d60433fd1a0a4cbe0ff11aba435d5e9617df1a629b3205f705303a2ccbcb4eb'),
+  (4, 'https://host0.example/static/img0.png', 'd8d446c7cdab9897633d70dfa74b2299a67aa998ede1d07ee83866b194e2e4a5'),
+  (5, 'https://host2.example/p/3/14', 'c1e96aeeb2a2e5a1f694ab148d2b697668c82e0605566e0b7a663bf8888e6352'),
+  (6, 'https://host5.example/p/2/10', '2d5cb7dbba16bca51c1b637e5ef72bad2b1e48729cff56963abcd38310693913'),
+  (7, 'https://host5.example/p/2/11', 'ed662252cff722f0caa530fd0ab3549511e2f4b65a71f9d0ae0e4aa27ab4a407'),
+  (8, 'https://host0.example/p/2/12', 'ba97aea9cad2b5408866558e435919c8725e62c24c114811dea27bc56d78eb5a'),
+  (9, 'https://host3.example/p/3/21', 'aa12132690cdc33db0fa952ea3ff5321012c1c5750be2e24c25275f97e35aeef'),
+  (10, 'https://host6.example/static/app3.js', 'e3a86efbd63cdc10314d8a2e24a7e0dd88df4c16e5082857c2272df8b84cdc99'),
+  (11, 'https://host3.example/p/4/43', '4fb888c008ea62b14457c48494ee8e0c48f68c5940d91d707d581679c8fdb8dd'),
+  (12, 'https://host0.example/p/4/44', '3d59d2d257379d37c4af5e94c0dc2636b93b319cb3a19a28d1a73bb8cdf0d121'),
+  (13, 'https://host2.example/p/4/45', '08217ae550877b95b08dc8fc2aa8b5b254f76146f473e150a748b2cc471a3773'),
+  (14, 'https://host2.example/from-sitemap/14', 'd821cc02b38646d4ff4dba1566a2fcac6c1fdbb08357babd2de0b3a24c534420'),
+  (15, 'https://host7.example/p/3/31', 'eeadb6540e57485cab652c4694ff4fdadb9621f02718af1bcc339582b04abee0'),
+  (16, 'https://host7.example/p/3/32', '406e66efa8eb67f4412d1b86b1633096d25e37dd727f1b1c7fc97ea12f116aeb'),
+  (17, 'https://host5.example/p/3/33', 'f835b98fa0647b85bf33ab392a90da7d2cf9559fb647961aa25da0687c03be89'),
+  (18, 'https://host5.example/static/bg10.jpg', '812980e20ddcb52181a785e844ea4d71220f4177be00a4d8fa78bba94003d573'),
+  (19, 'https://host4.example/p/3/34', '995defd3f72c6db41a6fadbef73533cbbf9d08acc4734ba9db3f89ef82476f93'),
+  (20, 'https://host4.example/p/3/35', '44072dbac4331383d283277ab2f9199aec7a07091db6ab16caa4e48889d19c05'),
+  (21, 'https://host2.example/p/3/36', '56cdeedecfb71d30706a60310c5550f6481fa0299d24787d95fb2e9904b3381f'),
+  (22, 'https://host5.example/static/app11.js', 'cabd106046810c4d2bce7a554e9430cc00d25a0b380b65189dddfc041c407d18'),
+  (23, 'https://host2.example/p/3/37', '1e63fb3eb3c9e3eebff312ce96487142047d8024d4b00afc4fb39df34165302e'),
+  (24, 'https://host0.example/p/3/38', '19c85faa58236adc02072281855726db1983213f5c3b83ad679c25a3c07c3d59'),
+  (25, 'https://host6.example/p/3/39', 'a9acfbdd254514b510fd9583f30c187f099d3959bb12a1ddc052515421691317'),
+  (26, 'https://host0.example/static/favicon12.png', '24bdc1323a8290363b8197e5e7bd7f108a86213e3e819d43a0e600fd1c8d6a72'),
+  (27, 'https://host0.example/p/4/64', '1579ccd16284aac3e1c621de8536ba07fde839ca579e358ba157c28875f475f4'),
+  (28, 'https://host3.example/p/4/65', '7a7b40d5eb72949ebae97a4eab2c963cfe0956d9c1da43d3c5773b14d14bb918'),
+  (29, 'https://host3.example/p/4/66', 'a199e2c2ebeff91402f8926423c17d482de7327fdba6c516696f345d86bd11ec'),
+  (30, 'https://host3.example/sitemap1.xml', '085919d41164f0c7c2a98136ab850dfb98e7cfae9ebe0e817d4c8c27250b1bcb'),
+  (31, 'https://host3.example/private1/', 'a4c2964f94b53fb8c4c6d0a0a265021dfdbd00a18f05c7b3a22ba465e599edfd'),
+  (32, 'https://host0.example/p/5/130', 'e4a45c178b22d7b1efa1cd501231d7a9eae96e457101b07b10b3bd47a485583b'),
+  (33, 'https://host0.example/p/5/131', 'a48a786941f993103ffa9742217ccdc24fcdd1d20578ce76b668cfe9243128fd'),
+  (34, 'https://host5.example/p/5/132', 'caf1a884b695cdfa22397de3e9ead9a6e0365f41e5bf8bd1587539fb61686216'),
+  (35, 'https://host2.example/p/5/301', '0b606a9a9bbecf314defe6bf6b079a1d4b0c00c6e045a5877383d871a667933f'),
+  (36, 'https://host3.example/static/app3.js', 'b4899589325885697d6048fde371da1972d8bf8160277b9224c8ddd0aedb4e51'),
+  (37, 'https://host0.example/p/5/133', '5fa2b24e8a2cda5ba13906f344cc0ca4b877037be3bf5f9e652e180a26dcb948'),
+  (38, 'https://host0.example/p/5/134', '89ae5e74845c1eea7d61d8e41616de7ff9106b6714824ceda2c91ed7cd744aeb'),
+  (39, 'https://host2.example/p/5/135', 'a5af1dc10a2be7fc48bb09f1dba873c2f631bacacd444b7975755eb81432c0e6'),
+  (40, 'https://host0.example/static/favicon4.png', '146f46aa23cf6342645187c1ad74e18a1b27c904ea7e227822e649e6a1d94441'),
+  (41, 'https://host0.example/p/5/136', '09481e8b8fdb331724d3428d2de55f84419f26d344211386c16d4f0291016735'),
+  (42, 'https://host7.example/p/5/137', 'a97ee554d87059f6c9b0263e7f9d0470d46491d77e5b663f04612946ce90dd75'),
+  (43, 'https://host6.example/p/5/138', '7aaa950d92b23416977bc6848e53355cc6fa319e0e6ebff72254e0ae765a326e'),
+  (44, 'https://host2.example/sitemap5.xml', '9d7f383364be25df90db1a6ce0cd09ca79f52e66a638a60b2152ef176ef6f3c8'),
+  (45, 'https://host2.example/private5/', 'e09a447e0f6c5b44b378c766781973ea8be212bdd17f71eb8af612c249754738'),
+  (46, 'https://host4.example/p/4/94', '3040515b470a49be6566f277ed6eb68a9ed8638d675aa21ea10efbbb80220945'),
+  (47, 'https://host4.example/p/4/95', '43fa461d928cfdf34df6fa923b7b396b9c208a57a1b54b81e3fe6382b8e9cb88'),
+  (48, 'https://host0.example/p/4/96', '7c1a37cb5da6927a72f95278560aed0465068513586dad86b1624a16f4b0faae'),
+  (49, 'https://host3.example/p/4/97', '719844e6668a81803d43d827030ada2df2372e0c1c000c03cf37a83a7a1e8e49'),
+  (50, 'https://host1.example/p/4/98', '6bbe804441800013c44b3decd37c161e60c0fb561918771ad9d5007e52fa2d0e'),
+  (51, 'https://host7.example/p/4/99', 'aed0667b34a40558c1c670ecf70f344ca5650ec23c19a9a6e2affdb24cfb8ddb'),
+  (52, 'https://host7.example/static/img12.png', '54c79c9ccc078813241bebcdc1b6486b528d1fffdaeab100e5591a299eafc5ae'),
+  (53, 'https://host7.example/p/4/100', '12c4533190da15bced82f74800fdc3d7e4cf0ea701e13bc8b356bfa4a70612e9'),
+  (54, 'https://host5.example/p/4/101', 'c027df1ecdf917efcfd9af815b09d13525305bc7d4b5e4dd8b0d5e15ec310e05'),
+  (55, 'https://host4.example/p/4/102', '6bbc18f46a55d9d30cd11052c166297d0eb858cae69656409a5fbcafa8f6ab81'),
+  (56, 'https://host4.example/p/5/231', 'c34723748116575c37f88baaf04b60ac907c3764c136950b6152a2210568c6cc'),
+  (57, 'https://host5.example/media/a_13.jpg/v1/fill,w_60,h_60/a.jpg', 'b6c48de0e655a0067835a3f65c19ac33db6bd3d23889e400ad8671c40cde7944'),
+  (58, 'https://host5.example/media/a_13.jpg/v1/fill,w_120,h_120/a.jpg', 'b64285d6df34e916cac97d604c8138c30e3854b9d1a3b8f509121322da8f1e50'),
+  (59, 'https://host4.example/p/4/103', '084064512deb5e41dbd30f98e41277f29dbaf200a3e243e5d44982c050dc633a')
+) AS t(seq, url, url_hash)
+"""
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: deterministic fake features over binary media
     via Arrow mapInPandas (decode stubbed — no codecs in this container)."""
@@ -1019,6 +1137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "crawl_wave": q_crawl_wave,
+        "crawl_emission": q_crawl_emission,
         "media_features": q_media_features,
     }
 
@@ -1052,6 +1171,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SQL,
         "token_count": _TOKEN_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
-        # crawl_wave, media_features: rows-only by design (stateful engine
-        # pipeline / binary mapInPandas — no SQL-visible input table)
+        "crawl_wave": _CRAWL_WAVE_SQL,
+        "crawl_emission": _CRAWL_EMISSION_SQL,
+        # media_features: rows-only by design (binary mapInPandas over
+        # synthetic media — no SQL-visible input table)
     }

@@ -67,24 +67,33 @@ def main() -> None:
     n_hosts = max(8, n_pages // 100)
 
     # ---- setup (untimed): corpus + warm-up ----
+    # The corpus is a BUCKETED table on url (corpus.write_pages_bucketed) —
+    # the sandbox analogue of an Iceberg pages table bucket-partitioned on
+    # url_hash: the engine's large-wave fetch join then shuffles ONLY the
+    # wave (verified one-Exchange plan), which is the 10^7-row-wave shape.
+    # Bucket count is fixed so both parallelism levels of the scaling
+    # protocol read the byte-identical input.
     state_root = tempfile.mkdtemp(prefix="jcrawler-bench-")
+    buckets = 32
     if CORPUS_DIR:
-        corpus_path = os.path.join(CORPUS_DIR, f"pages-{n_pages}-b{BODY_REPEAT}")
-        if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
-            corpus.write_pages(
-                spark, corpus_path, n_pages, n_hosts,
-                partitions=CPUS * 2, body_repeat=BODY_REPEAT,
-            )
+        corpus_path = os.path.join(
+            CORPUS_DIR, f"pages-bkt-{n_pages}-b{BODY_REPEAT}"
+        )
     else:
         corpus_path = os.path.join(state_root, "pages")
-        corpus.write_pages(
-            spark, corpus_path, n_pages, n_hosts,
-            partitions=CPUS * 2, body_repeat=BODY_REPEAT,
+    table = f"bench_pages_{n_pages}_b{BODY_REPEAT}"
+    if not os.path.exists(os.path.join(corpus_path, "_SUCCESS")):
+        corpus.write_pages_bucketed(
+            spark, corpus_path, table, n_pages, n_hosts,
+            partitions=CPUS * 2, body_repeat=BODY_REPEAT, buckets=buckets,
         )
     # cache the corpus: the synthetic fetcher probes it once per superstep
     # (a real crawl reads the web, not a table — the cache stands in for
-    # "fetch cost scales with the wave, not the corpus")
-    pages_df = spark.read.parquet(corpus_path).cache()
+    # "fetch cost scales with the wave, not the corpus"); the cached scan
+    # keeps the bucketed partitioning, so the join stays one-sided
+    pages_df = corpus.read_pages_bucketed(
+        spark, corpus_path, table, buckets=buckets
+    ).cache()
     pages_df.count()  # materialize + JIT warm-up
 
     timings: dict[str, float] = {}

@@ -80,6 +80,9 @@ class CrawlConfig:
     skew_salt_buckets: int = 16
     # F6 ignored-domains side aggregate (A3); off saves one job per wave
     track_ignored_domains: bool = True
+    # fold the frontier add/consume delta log into one base every K
+    # supersteps (bounds the pending view's plan depth); None = never
+    frontier_compact_every: int | None = 8
     # print per-phase superstep timings (diagnostics)
     debug_timing: bool = False
     # Bloom seen-prefilter (exact anti-join still applied afterwards)

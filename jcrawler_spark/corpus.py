@@ -212,3 +212,53 @@ def write_pages(
     build_pages_df(spark, n_pages, n_hosts, partitions, body_repeat).write.mode(
         "overwrite"
     ).parquet(path)
+
+
+def _pages_ddl() -> str:
+    return ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in schemas.PAGES.fields
+    )
+
+
+def write_pages_bucketed(
+    spark: SparkSession,
+    path: str,
+    table_name: str,
+    n_pages: int,
+    n_hosts: int = 8,
+    partitions: int | None = None,
+    body_repeat: int = 1,
+    buckets: int = 32,
+) -> DataFrame:
+    """Write the corpus as a parquet table BUCKETED BY url — the sandbox
+    analogue of an Iceberg pages table bucket-partitioned on url. A join
+    against it on `url` shuffles only the other side (the wave): the
+    one-sided-shuffle fetch shape the engine's large-wave path is designed
+    for (engine.SyntheticFetcher docstring)."""
+    df = build_pages_df(spark, n_pages, n_hosts, partitions, body_repeat)
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(buckets, "url")
+        .sortBy("url")
+        .saveAsTable(table_name)
+    )
+    return spark.table(table_name)
+
+
+def read_pages_bucketed(
+    spark: SparkSession, path: str, table_name: str, buckets: int = 32
+) -> DataFrame:
+    """(Re-)register an existing bucketed corpus written by
+    write_pages_bucketed in THIS session's (in-memory) catalog and return
+    it. Bucket ids are recovered from the Spark bucketed file naming, so
+    the bucketed-scan plan survives session restarts."""
+    if not spark.catalog.tableExists(table_name):
+        spark.sql(
+            f"CREATE TABLE {table_name} ({_pages_ddl()}) USING parquet "
+            f"CLUSTERED BY (url) SORTED BY (url) INTO {buckets} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+    return spark.table(table_name)

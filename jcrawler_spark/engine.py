@@ -237,7 +237,7 @@ class CrawlEngine:
             cfg.bloom_shards, cfg.bloom_bits_per_shard, cfg.bloom_hashes,
             grow_at_fill=cfg.bloom_grow_at_fill,
         )
-        self.store.stage_snapshot("frontier", pending, 0)
+        self.store.stage_append("frontier_add", pending, 0)
         rank_cache.unpersist()
         self.order_counter = n_seeds
         self._pending_count = n_seeds
@@ -399,7 +399,7 @@ class CrawlEngine:
 
         tick = [t0]
         is_dfs = self._is_dfs()
-        pending = self.store.read("frontier")
+        pending = self._read_frontier()
         if pending is None:
             return None
         # BFS tracks the pending count exactly — empty frontier needs no job.
@@ -616,11 +616,25 @@ class CrawlEngine:
         _tick("rank new frontier", tick)
         self.order_counter += new_n
 
-        # ---- next pending snapshot ----
-        next_pending = (
-            pending.join(wave.select("url_hash"), "url_hash", "left_anti")
-            .unionByName(new_rows.select(*[f.name for f in _PENDING.fields]))
+        # ---- frontier delta (O(wave+new) per superstep, never O(frontier)):
+        # the wave's hashes are CONSUMED, the ranked discoveries are ADDED;
+        # the pending view is adds ∖ later-consumed (see _read_frontier).
+        # Every Kth superstep the composed view compacts into one base so
+        # the read plan stays bounded — at a 10^10-row frontier the full
+        # rewrite this replaces would dominate every superstep. ----
+        frontier_add = new_rows.select(*[f.name for f in _PENDING.fields])
+        frontier_consumed = wave.select(
+            "url_hash", F.lit(s).alias("superstep")
         )
+        compact = (
+            cfg.frontier_compact_every is not None
+            and s % cfg.frontier_compact_every == 0
+        )
+        if compact:
+            compacted = (
+                pending.join(wave.select("url_hash"), "url_hash", "left_anti")
+                .unionByName(frontier_add)
+            )
 
         # ---- host_state update (logical clock) ----
         fetch_hosts = fetched.groupBy("host").agg(
@@ -700,10 +714,19 @@ class CrawlEngine:
         obs = Observation(f"wave-{s}")
         pages_delta = pages_delta.observe(obs, F.count(F.lit(1)).alias("n"))
         appends = {"pages": pages_delta, "lineage": lineage}
+        replaces = {}
+        if compact:
+            replaces["frontier_add"] = compacted
+            replaces["frontier_consumed"] = self.spark.createDataFrame(
+                [], schema="url_hash string, superstep int"
+            )
+        else:
+            appends["frontier_add"] = frontier_add
+            appends["frontier_consumed"] = frontier_consumed
         if ignored is not None:
             appends["ignored_domains"] = ignored.withColumn("superstep", F.lit(s))
         self.store.stage_all(
-            s, appends, {"frontier": next_pending, "host_state": next_hs}
+            s, appends, {"host_state": next_hs}, replaces=replaces
         )
         if wave_n < 0:
             wave_n = int(obs.get["n"])  # free: observed during the write job
@@ -715,7 +738,7 @@ class CrawlEngine:
         self.superstep = s
 
         if is_dfs:
-            pending_left = self.store.read("frontier").count()
+            pending_left = self._read_frontier().count()
         else:
             # exact: wave ⊆ pending (by hash), new rows disjoint from pending
             pending_left = self._pending_count - wave_n + new_n
@@ -740,6 +763,27 @@ class CrawlEngine:
             self._rank_cache = None
         return stats
 
+    def _read_frontier(self) -> DataFrame | None:
+        """The pending view over the frontier delta log: adds minus every
+        add whose hash was consumed at-or-after its add superstep (so a
+        requeue of a previously consumed hash — a LATER add — survives).
+        Bounded plan depth: compaction folds the log every K supersteps."""
+        adds = self.store.read("frontier_add")
+        if adds is None:
+            return None
+        consumed = self.store.read("frontier_consumed")
+        if consumed is None:
+            return adds
+        c = consumed.withColumnsRenamed(
+            {"url_hash": "c_hash", "superstep": "c_superstep"}
+        )
+        return adds.join(
+            c,
+            (adds["url_hash"] == c["c_hash"])
+            & (c["c_superstep"] >= adds["superstep"]),
+            "left_anti",
+        )
+
     def _seen_hashes(self) -> DataFrame | None:
         """The visited-set hashes = every wave-result row ever committed."""
         df = self.store.read("pages")
@@ -759,7 +803,7 @@ class CrawlEngine:
         pages = self.store.read("pages")
         if pages is None:
             return 0
-        pending = self.store.read("frontier")
+        pending = self._read_frontier()
         latest = pages.groupBy("url_hash").agg(F.max("superstep").alias("last_s"))
         expired = (
             pages.where(~F.col("skipped"))
@@ -781,10 +825,10 @@ class CrawlEngine:
             "order_key",   # original discovery order keeps the re-crawl FIFO
             "path_key",
         )
-        next_pending = pending.unionByName(rows)
-        # commit() carries forward unstaged snapshots/blobs from the prior
-        # manifest, so only the frontier needs staging here
-        self.store.stage_snapshot("frontier", next_pending, s + 1)
+        # a frontier_add delta at superstep s+1: being a LATER add than any
+        # consumption of these hashes, the composed view resurrects them
+        # (commit() carries forward all other tables from the prior manifest)
+        self.store.stage_append("frontier_add", rows, s + 1)
         n = rows.count()
         self._pending_count += n
         self.superstep = s + 1

@@ -38,7 +38,9 @@ from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 
-APPEND_TABLES = ("pages", "lineage", "ignored_domains")
+APPEND_TABLES = (
+    "pages", "lineage", "ignored_domains", "frontier_add", "frontier_consumed",
+)
 SNAP_TABLES = ("host_state", "frontier")
 
 
@@ -48,6 +50,7 @@ class SnapshotStore:
         self.spark = spark
         os.makedirs(os.path.join(root, "checkpoints"), exist_ok=True)
         self._staged: dict[str, list[str]] = {}
+        self._staged_replace: set[str] = set()
         self._lock = threading.Lock()
 
     # ---- commit log ----
@@ -73,12 +76,19 @@ class SnapshotStore:
 
     # ---- writes (staged until commit) ----
 
-    def stage_append(self, table: str, df: DataFrame, superstep: int) -> None:
-        """Write a delta file set for `table`; visible only after commit."""
+    def stage_append(
+        self, table: str, df: DataFrame, superstep: int, replace: bool = False
+    ) -> None:
+        """Write a delta file set for `table`; visible only after commit.
+        `replace=True` makes this superstep's files REPLACE the table's
+        whole accumulated file list at commit (delta compaction — Iceberg's
+        rewrite-data-files): prior files become vacuum-able orphans."""
         rel = os.path.join(table, f"delta-{superstep:08d}-{uuid.uuid4().hex[:8]}.parquet")
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         with self._lock:
             self._staged.setdefault(table, []).append(rel)
+            if replace:
+                self._staged_replace.add(table)
 
     def stage_snapshot(self, table: str, df: DataFrame, superstep: int) -> None:
         """Full-rewrite table (small dimension state, e.g. host_state)."""
@@ -101,17 +111,24 @@ class SnapshotStore:
         return rel
 
     def stage_all(self, superstep: int, appends: dict[str, DataFrame],
-                  snapshots: dict[str, DataFrame]) -> None:
+                  snapshots: dict[str, DataFrame],
+                  replaces: dict[str, DataFrame] | None = None) -> None:
         """Stage several table writes CONCURRENTLY (independent Spark jobs
         share the cluster; serial staging leaves executors idle between
-        small writes). Visibility still gated by the single commit()."""
-        with ThreadPoolExecutor(max_workers=max(1, len(appends) + len(snapshots))) as ex:
+        small writes). Visibility still gated by the single commit().
+        `replaces` entries compact: their files replace the table's list."""
+        replaces = replaces or {}
+        n = len(appends) + len(snapshots) + len(replaces)
+        with ThreadPoolExecutor(max_workers=max(1, n)) as ex:
             futs = [
                 ex.submit(self.stage_append, t, df, superstep)
                 for t, df in appends.items()
             ] + [
                 ex.submit(self.stage_snapshot, t, df, superstep)
                 for t, df in snapshots.items()
+            ] + [
+                ex.submit(self.stage_append, t, df, superstep, True)
+                for t, df in replaces.items()
             ]
             for f in futs:
                 f.result()
@@ -133,6 +150,8 @@ class SnapshotStore:
                 blobs = rels  # latest blob set replaces (bloom is cumulative bits)
             elif t in SNAP_TABLES:
                 snaps[t] = rels[-1]
+            elif t in self._staged_replace:
+                base[t] = list(rels)  # compaction: replace the file list
             else:
                 base.setdefault(t, []).extend(rels)
         manifest = {
@@ -147,6 +166,7 @@ class SnapshotStore:
             json.dump(manifest, f)
         os.replace(tmp, self._ckpt_path(superstep))
         self._staged = {}
+        self._staged_replace = set()
 
     # ---- reads (snapshot-as-of) ----
 

@@ -7,14 +7,20 @@
 
 Option names mirror the picocli CLI where observable behavior matches;
 sandbox-only options (--corpus: the synthetic pages table standing in for
-the network, SyntheticFetcher) are documented as such. Exit writes a
-crawl-result summary like `.crawl-result.yaml` (JCrawler.java:686-694).
-"""
+the network, SyntheticFetcher; --http enables the real HttpFetcher) are
+documented as such. Exit behavior mirrors JCrawler.call
+(JCrawler.java:655-697): the ignored-external-domain `--accept` suggestion
+block is printed in the reference's format, and the full crawl result
+(config echo + ignoredExternalDomains + stats) is written next to the
+state dir as `.crawl-result.json` (JSON instead of the reference's YAML —
+no YAML writer in the runtime; key set matches, DIVERGENCES.md)."""
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
+import os
 import sys
 
 
@@ -25,11 +31,22 @@ def build_parser() -> argparse.ArgumentParser:
                    help="additional accept prefixes/hosts (JCrawler --accept)")
     p.add_argument("--maxDocs", type=int, default=10_000)
     p.add_argument("--maxConnections", type=int, default=3,
-                   help="per-wave per-host budget analogue of the token pool")
+                   help="global politeness budget: max fetches per wave "
+                        "(the reference's connection token pool); 0 = unlimited")
+    p.add_argument("--perHostBudget", type=int, default=None,
+                   help="per-host fetches allowed in one wave (ours)")
     p.add_argument("-l", "--level", type=int, default=100, dest="depth")
     p.add_argument("--traversal", default="PARALLEL_BREADTH_FIRST",
                    choices=["PARALLEL_BREADTH_FIRST", "BREADTH_FIRST",
-                            "DEPTH_FIRST_PREORDER"])
+                            "DEPTH_FIRST_PREORDER", "DEPTH_FIRST_POSTORDER"])
+    p.add_argument("--expire", type=int, default=100 * 24 * 3600,
+                   metavar="SECONDS",
+                   help="cache expiry horizon (JCrawler --expire, default "
+                        "100 days); with --resume, pages whose latest fetch "
+                        "is older than this (logical clock) re-queue first")
+    p.add_argument("--recomputeLinks", action="store_true",
+                   help="ignore memoized links columns; re-extract "
+                        "(JCrawler --recomputeLinks)")
     p.add_argument("--enforce-robots", action="store_true")
     p.add_argument("--crawl-delay", type=int, default=0,
                    help="per-host delay in logical seconds (0 = off)")
@@ -40,6 +57,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--corpus", default=None,
                    help="parquet pages table for the synthetic fetcher "
                         "(sandbox stand-in for HTTP)")
+    p.add_argument("--cache-from", default=None, metavar="STATE_DIR",
+                   help="serve cache hits (with memoized links) from a "
+                        "prior crawl's state dir before fetching")
+    p.add_argument("--http", action="store_true",
+                   help="fetch with the real HTTP fetcher (mapInPandas; "
+                        "reference browser headers) instead of --corpus")
     p.add_argument("--synthesize", type=int, default=0, metavar="N",
                    help="generate an N-page synthetic corpus at --corpus")
     p.add_argument("--master", default=None)
@@ -47,47 +70,83 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     args = build_parser().parse_args(argv)
 
     from jcrawler_spark import corpus as corpus_mod
     from jcrawler_spark.config import CrawlConfig, TraversalType
     from jcrawler_spark.engine import CrawlEngine, SyntheticFetcher
+    from jcrawler_spark.operators.fetch import CachedFetcher, HttpFetcher
+    from jcrawler_spark.plans.tableio import SnapshotStore
     from jcrawler_spark.session import get_spark
 
     spark = get_spark(args.master, app_name="jcrawl")
     if args.synthesize and args.corpus:
         corpus_mod.write_pages(spark, args.corpus, args.synthesize)
-    if not args.corpus:
-        print("error: --corpus required (no live HTTP fetcher in sandbox)",
-              file=sys.stderr)
+
+    if args.http:
+        fetcher = HttpFetcher()
+    elif args.corpus:
+        fetcher = SyntheticFetcher(spark.read.parquet(args.corpus))
+    else:
+        print("error: --corpus or --http required", file=sys.stderr)
         return 2
-    pages = spark.read.parquet(args.corpus)
+    if args.cache_from:
+        cache_pages = SnapshotStore(args.cache_from, spark).read("pages")
+        if cache_pages is not None:
+            fetcher = CachedFetcher(cache_pages, inner=fetcher)
 
     cfg = CrawlConfig(
         urls=args.urls,
         accept=args.accept,
         max_docs=args.maxDocs,
-        per_host_budget=args.maxConnections if args.maxConnections > 0 else None,
+        max_connections=args.maxConnections if args.maxConnections > 0 else None,
+        per_host_budget=args.perHostBudget,
         depth=args.depth,
+        cache_expiry_seconds=args.expire,
+        recompute_links=args.recomputeLinks,
         traversal=TraversalType[args.traversal],
         enforce_robots=args.enforce_robots,
         enforce_crawl_delay=args.crawl_delay > 0,
         crawl_delay_seconds=max(args.crawl_delay, 1),
     )
-    eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages), args.state)
-    stats = eng.run(
-        seeds=None if args.resume else args.urls,
-        max_supersteps=args.max_supersteps,
-    )
-    result = {
-        "totalLinks": eng.emitted_count,
-        "supersteps": len(stats),
-        "ignoredExternalDomains": eng.ignored_domains(),
-        "state": args.state,
+    eng = CrawlEngine(spark, cfg, fetcher, args.state)
+    if args.resume:
+        eng.resume()
+        requeued = eng.requeue_expired()  # --expire horizon on the logical clock
+        if requeued:
+            print(f"requeued {requeued} expired pages (expire={args.expire}s)")
+        stats = eng.run(seeds=None, max_supersteps=args.max_supersteps)
+    else:
+        stats = eng.run(seeds=args.urls, max_supersteps=args.max_supersteps)
+
+    # ---- result sink, reference format (JCrawler.java:672-694) ----
+    ignored = eng.ignored_domains()
+    if ignored:
+        print("\n--------------------------------------------------------------")
+        print("Suggestion: The following external domains were encountered:")
+        for domain in sorted(ignored):
+            print(f"  - {domain}")
+        print("\nTo include them in the crawl, add the following arguments:")
+        print(" ".join(f"--accept {d}" for d in sorted(ignored)))
+        print("--------------------------------------------------------------\n")
+
+    config_echo = dataclasses.asdict(cfg)
+    config_echo["traversal"] = cfg.traversal.value
+    final_result = {
+        "config": config_echo,
+        "ignoredExternalDomains": sorted(ignored),
+        "stats": {"totalLinks": eng.emitted_count, "supersteps": len(stats)},
     }
-    print(json.dumps(result, indent=2))
-    spark.stop()
+    result_path = os.path.join(args.state, ".crawl-result.json")
+    os.makedirs(args.state, exist_ok=True)
+    with open(result_path, "w") as f:
+        json.dump(final_result, f, indent=2)
+    print(json.dumps({**final_result["stats"],
+                      "ignoredExternalDomains": sorted(ignored),
+                      "state": args.state}, indent=2))
+    if stop_session:
+        spark.stop()
     return 0
 
 

@@ -1,0 +1,230 @@
+"""CLI parity (JCrawler.java:594-697) + production fetchers: HttpFetcher
+against a local stub HTTP server, CachedFetcher links-memoization."""
+
+from __future__ import annotations
+
+import gzip
+import http.server
+import json
+import os
+import sys
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from jcrawler_spark import corpus
+from jcrawler_spark.config import CrawlConfig
+from jcrawler_spark.engine import CrawlEngine, SyntheticFetcher
+from jcrawler_spark.operators.fetch import (
+    CachedFetcher,
+    HttpFetcher,
+    fetch_one,
+    request_headers,
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N, H = 80, 8
+ACCEPTS = [f"host{i}.example" for i in range(H)]
+
+
+# ---------------------------------------------------------------------------
+# HttpFetcher vs a stub server (200 / 301 / 404 / gzip / connect-error)
+# ---------------------------------------------------------------------------
+
+
+class _StubHandler(http.server.BaseHTTPRequestHandler):
+    def log_message(self, *a):  # quiet
+        pass
+
+    def do_GET(self):
+        if self.path == "/ok":
+            body = b"<html><body><a href='/next'>n</a></body></html>"
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/gz":
+            body = gzip.compress(b"<html><body>zipped</body></html>")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Encoding", "gzip")
+            self.end_headers()
+            self.wfile.write(body)
+        elif self.path == "/moved":
+            self.send_response(301)
+            self.send_header("Location", "/ok")
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(b"moved")
+        elif self.path == "/headers":
+            ua = self.headers.get("User-Agent", "")
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.end_headers()
+            self.wfile.write(ua.encode())
+        else:
+            self.send_response(404)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(b"nope")
+
+
+@pytest.fixture(scope="module")
+def stub_server():
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _StubHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_fetch_one_matches_reference_semantics(stub_server):
+    ok = fetch_one(f"{stub_server}/ok", 5, 1 << 20)
+    assert ok["status"] == 200 and b"/next" in ok["html"] and ok["error"] is None
+    assert ok["content_type"].startswith("text/html")
+
+    gz = fetch_one(f"{stub_server}/gz", 5, 1 << 20)
+    assert gz["html"] == b"<html><body>zipped</body></html>"  # decoded
+
+    # 3xx NOT followed; status + Location captured (HttpClient Redirect.NEVER)
+    mv = fetch_one(f"{stub_server}/moved", 5, 1 << 20)
+    assert mv["status"] == 301 and mv["location"] == "/ok"
+    assert mv["error"] is None
+
+    # 404 is a valid response, not an error row
+    nf = fetch_one(f"{stub_server}/missing", 5, 1 << 20)
+    assert nf["status"] == 404 and nf["error"] is None
+
+    # connect failure → error row (reference failing-host semantics)
+    err = fetch_one("http://127.0.0.1:9/never", 2, 1 << 20)
+    assert err["status"] is None and err["error"].startswith("connect error")
+
+    # the reference's browser headers are actually sent (minus excluded)
+    hx = fetch_one(f"{stub_server}/headers", 5, 1 << 20)
+    assert b"Chrome/130" in hx["html"]
+    names = {n for n, _ in request_headers()}
+    assert "User-Agent" in names and "Referer" not in names
+
+
+def test_http_fetcher_row_shape_matches_synthetic(spark, stub_server):
+    """HttpFetcher output columns/types are byte-identical in shape to
+    SyntheticFetcher's (the engine contract)."""
+    wave = spark.createDataFrame(
+        [
+            (f"{stub_server}/ok", "h", 0),
+            (f"{stub_server}/moved", "h", 0),
+            (f"{stub_server}/missing", "h", 0),
+        ],
+        ["url", "host", "depth"],
+    )
+    out = HttpFetcher(timeout_s=5).fetch(wave, approx_rows=3)
+    rows = {r["url"].rsplit("/", 1)[1]: r for r in out.collect()}
+    assert rows["ok"]["status"] == 200 and rows["ok"]["error"] is None
+    assert rows["moved"]["status"] == 301 and rows["moved"]["location"] == "/ok"
+    assert rows["missing"]["status"] == 404
+
+    pages = corpus.build_pages_df(spark, 10, 2, partitions=2)
+    syn = SyntheticFetcher(pages).fetch(
+        wave.withColumn("url", F.lit(corpus.url_of(0, 2))), approx_rows=3
+    )
+    # same column set and per-column types (order is join-shape dependent;
+    # the engine selects by name)
+    http_cols = {f.name: f.dataType.simpleString() for f in out.schema.fields}
+    syn_cols = {f.name: f.dataType.simpleString() for f in syn.schema.fields}
+    assert http_cols == syn_cols
+
+
+# ---------------------------------------------------------------------------
+# CachedFetcher: links memoization + recompute_links
+# ---------------------------------------------------------------------------
+
+
+def test_cached_fetcher_memoized_links_no_refetch(spark, tmp_path):
+    pages = corpus.build_pages_df(spark, N, H, partitions=4).cache()
+    cfg = CrawlConfig(accept=ACCEPTS, max_docs=200, max_connections=None)
+    eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages), str(tmp_path / "a"))
+    eng.run(seeds=[corpus.url_of(0, H)], max_supersteps=20)
+    cache = eng.store.read("pages")
+    # every fetched page carries its memoized links array
+    assert "links" in cache.columns
+    n_with_links = cache.where(
+        ~F.col("skipped") & F.col("error").isNull() & (F.col("status") == 200)
+        & (F.size("links") > 0)
+    ).count()
+    assert n_with_links > 10
+
+    # second crawl: cache-only (inner=None marks any miss as an error row)
+    # must reproduce the exact emission with ZERO misses — no refetch, and
+    # no re-extraction input (cache hits have html=NULL; links come from
+    # the memoized column)
+    eng2 = CrawlEngine(
+        spark, cfg, CachedFetcher(cache, inner=None), str(tmp_path / "b")
+    )
+    eng2.run(seeds=[corpus.url_of(0, H)], max_supersteps=20)
+    assert eng2.emitted_urls() == eng.emitted_urls()
+    assert (
+        eng2.store.read("pages").where(F.col("error").isNotNull()).count() == 0
+    ), "a cache miss reached the offline path"
+
+    # recompute_links ignores the memoized column: with html=NULL cache rows
+    # extraction yields nothing, so the crawl stops after the seed wave —
+    # pinning that the memoized column really is what fed crawl B
+    cfg3 = CrawlConfig(
+        accept=ACCEPTS, max_docs=200, max_connections=None, recompute_links=True
+    )
+    eng3 = CrawlEngine(
+        spark, cfg3, CachedFetcher(cache, inner=None), str(tmp_path / "c")
+    )
+    eng3.run(seeds=[corpus.url_of(0, H)], max_supersteps=5)
+    assert eng3.emitted_count < eng.emitted_count
+    pages.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# CLI (main.py): flags reach the engine; result sink has reference fields
+# ---------------------------------------------------------------------------
+
+
+def test_cli_end_to_end(spark, tmp_path, capsys):
+    import main as cli
+
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write_pages(spark, corpus_path, N, H, partitions=4)
+    state = str(tmp_path / "state")
+    rc = cli.main(
+        [
+            corpus.url_of(0, H),
+            *[x for i in range(H) for x in ("--accept", f"host{i}.example")],
+            "--corpus", corpus_path,
+            "--state", state,
+            "--maxDocs", "60",
+            "--maxConnections", "0",
+            "--max-supersteps", "12",
+        ],
+        stop_session=False,  # the pytest session owns the SparkSession
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    # reference suggestion block (JCrawler.java:672-684)
+    assert "Suggestion: The following external domains were encountered:" in out
+    # external links exist on pages i%10==7, i.e. i mod 5 == 2 → external2
+    assert "--accept external2.example" in out
+    # result sink (.crawl-result.yaml analogue, JCrawler.java:686-694)
+    with open(os.path.join(state, ".crawl-result.json")) as f:
+        res = json.load(f)
+    assert set(res) == {"config", "ignoredExternalDomains", "stats"}
+    assert res["stats"]["totalLinks"] > 0
+    assert res["config"]["max_docs"] == 60
+    assert res["ignoredExternalDomains"]
+
+
+def test_cli_postorder_and_expire_reachable():
+    import main as cli
+
+    p = cli.build_parser()
+    a = p.parse_args(["u", "--traversal", "DEPTH_FIRST_POSTORDER",
+                      "--expire", "3600", "--recomputeLinks", "--http"])
+    assert a.traversal == "DEPTH_FIRST_POSTORDER"
+    assert a.expire == 3600 and a.recomputeLinks and a.http

@@ -172,3 +172,45 @@ def test_dfs_preorder(spark, pages_df, pages_local, tmp_path):
     eng = _run(spark, pages_df, tmp_path, cfg, max_supersteps=12)
     expected = _dfs_preorder_oracle(pages_local, _seeds()[0], _accept_set(), 12)
     assert eng.emitted_urls() == expected
+
+
+def test_dfs_two_path_rediscovery_single_visit(spark, tmp_path):
+    """ADVICE round 1: a URL rediscovered via two paths BEFORE its first
+    visit must be popped exactly once (Guava preorder first-encounter
+    semantics). Graph: A→[B,C], B→[C] — C sits pending via two path_keys
+    when B is expanded; after one copy pops, the other must die."""
+    import datetime as dt
+
+    from jcrawler_spark import schemas
+
+    def page(url, hrefs):
+        html = "<html><body>" + "".join(
+            f"<a href='{h}'>x</a>" for h in hrefs
+        ) + "</body></html>"
+        return {
+            "url": url,
+            "warc_ts": dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc),
+            "html": html.encode(),
+            "text": "t",
+            "lang": "en",
+            "status": 200,
+            "location": None,
+            "content_type": "text/html",
+            "host": "a.example",
+            "url_hash": urlops.url_hash(url),
+            "fetch_ts": dt.datetime(2026, 1, 1, tzinfo=dt.timezone.utc),
+            "error": None,
+        }
+
+    a, b, c = (f"https://a.example/{x}" for x in "abc")
+    pages = spark.createDataFrame(
+        [page(a, [b, c]), page(b, [c]), page(c, [])], schema=schemas.PAGES
+    )
+    cfg = CrawlConfig(
+        accept=["a.example"], max_docs=10,
+        traversal=TraversalType.DEPTH_FIRST_PREORDER, bloom_enabled=False,
+    )
+    root = str(tmp_path / "dfs2")
+    eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages), root)
+    eng.run(seeds=[a], max_supersteps=10)
+    assert eng.emitted_urls() == [a, b, c]  # C exactly once, under B
