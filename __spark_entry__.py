@@ -813,6 +813,41 @@ SELECT probe_id, neighbor_id, rank FROM (
 """
 
 
+
+
+def q_cosine_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup family): hyperplane
+    bucket → within-bucket pairs → cosine threshold. The synthetic
+    embeddings are near-orthogonal (max in-bucket cosine ≈0.45), so the
+    contract threshold sits in the populated region (0.33) to produce a
+    non-empty verifiable pair set; real near-dup corpora use ≥0.9 with the
+    identical plan. Cap disabled here — the SQL oracle is exact all-pairs
+    within buckets (test buckets are tiny)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.cosine_near_duplicates(
+        emb, threshold=0.33, n_planes=6, dim=64, max_bucket=None
+    ).select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "sim_r3",
+    )
+
+
+_COSINE_NEAR_DUP_SQL = f"""
+WITH v AS (
+  SELECT vec_id AS id, embedding AS vec,
+         {similarity.lsh_bucket_sql('embedding', 6, 64)} AS bucket
+  FROM embeddings
+),
+pr AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         {similarity.cosine_sql('a.vec', 'b.vec')} AS sim
+  FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+)
+SELECT DISTINCT id_a, id_b, round(sim, 3) AS sim_r3 FROM pr WHERE sim >= 0.33
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis family
 # ---------------------------------------------------------------------------
@@ -1132,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "cosine_near_dup": q_cosine_near_dup,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -1167,6 +1203,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
         "lsh_ann_topk": _LSH_ANN_SQL,
+        "cosine_near_dup": _COSINE_NEAR_DUP_SQL,
         "lang_id": _LANG_SQL,
         "quality_score": _QUALITY_SQL,
         "token_count": _TOKEN_SQL,

@@ -187,6 +187,9 @@ class CrawlEngine:
         self._any_host_errors = False
         self._rank_cache: DataFrame | None = None
         self._bloom: bloom_ops.GenerationalBloom | None = None
+        # frontier delta-log compaction horizon: pages deltas at or before
+        # this superstep are already folded into the frontier_add base
+        self._last_compact = 0
 
     # ------------------------------------------------------------------
     # seeding / resume
@@ -269,6 +272,7 @@ class CrawlEngine:
             "pending_count": self._pending_count,
             "any_host_errors": self._any_host_errors,
             "accept_set": self.accept_set,
+            "last_compact": self._last_compact,
         }
 
     def resume(self) -> int:
@@ -283,6 +287,7 @@ class CrawlEngine:
         self._pending_count = c.get("pending_count", 1 << 62)
         self._any_host_errors = bool(c.get("any_host_errors", True))
         self.accept_set = list(c["accept_set"])
+        self._last_compact = int(c.get("last_compact", 0))
         blob = self.store.read_blob(last)
         self._bloom = bloom_ops.bloom_from_bytes(blob)
         return last
@@ -623,9 +628,6 @@ class CrawlEngine:
         # the read plan stays bounded — at a 10^10-row frontier the full
         # rewrite this replaces would dominate every superstep. ----
         frontier_add = new_rows.select(*[f.name for f in _PENDING.fields])
-        frontier_consumed = wave.select(
-            "url_hash", F.lit(s).alias("superstep")
-        )
         compact = (
             cfg.frontier_compact_every is not None
             and s % cfg.frontier_compact_every == 0
@@ -717,12 +719,8 @@ class CrawlEngine:
         replaces = {}
         if compact:
             replaces["frontier_add"] = compacted
-            replaces["frontier_consumed"] = self.spark.createDataFrame(
-                [], schema="url_hash string, superstep int"
-            )
         else:
             appends["frontier_add"] = frontier_add
-            appends["frontier_consumed"] = frontier_consumed
         if ignored is not None:
             appends["ignored_domains"] = ignored.withColumn("superstep", F.lit(s))
         self.store.stage_all(
@@ -733,6 +731,8 @@ class CrawlEngine:
         self.emitted_count += wave_n
         if self._bloom is not None:
             self.store.stage_blob("bloom", self._bloom.to_bytes(), s)
+        if compact:
+            self._last_compact = s
         self.store.commit(s, self._counters())
         _tick("writes+commit", tick)
         self.superstep = s
@@ -767,15 +767,25 @@ class CrawlEngine:
         """The pending view over the frontier delta log: adds minus every
         add whose hash was consumed at-or-after its add superstep (so a
         requeue of a previously consumed hash — a LATER add — survives).
-        Bounded plan depth: compaction folds the log every K supersteps."""
+
+        The consumed set is NOT a separate table: every popped URL already
+        lands in the pages delta of its superstep, so consumption is the
+        (url_hash, superstep) projection of the pages deltas SINCE the
+        last compaction (older consumption is folded into the compacted
+        base — an add surviving compaction provably has no pages row at or
+        after its add superstep). One table fewer to write per superstep;
+        the incremental read touches only the recent delta files."""
         adds = self.store.read("frontier_add")
         if adds is None:
             return None
-        consumed = self.store.read("frontier_consumed")
+        consumed = self.store.read(
+            "pages", min_superstep=self._last_compact + 1
+        )
         if consumed is None:
             return adds
-        c = consumed.withColumnsRenamed(
-            {"url_hash": "c_hash", "superstep": "c_superstep"}
+        c = consumed.select(
+            F.col("url_hash").alias("c_hash"),
+            F.col("superstep").alias("c_superstep"),
         )
         return adds.join(
             c,

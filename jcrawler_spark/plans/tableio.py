@@ -170,8 +170,17 @@ class SnapshotStore:
 
     # ---- reads (snapshot-as-of) ----
 
-    def read(self, table: str, as_of: int | None = None) -> DataFrame | None:
-        """Read a table at a committed superstep (default: latest)."""
+    def read(
+        self,
+        table: str,
+        as_of: int | None = None,
+        min_superstep: int | None = None,
+    ) -> DataFrame | None:
+        """Read a table at a committed superstep (default: latest).
+        `min_superstep` skips delta file sets written before that superstep
+        (the superstep is part of the delta file name) — Iceberg
+        incremental-read: callers that only need recent deltas never touch
+        the old files' metadata or data."""
         s = as_of if as_of is not None else self.last_superstep()
         if s is None:
             return None
@@ -182,6 +191,11 @@ class SnapshotStore:
                 return None
             return self.spark.read.parquet(os.path.join(self.root, rel))
         rels = m["appends"].get(table, [])
+        if min_superstep is not None:
+            rels = [
+                r for r in rels
+                if int(os.path.basename(r).split("-")[1]) >= min_superstep
+            ]
         if not rels:
             return None
         return self.spark.read.parquet(*[os.path.join(self.root, r) for r in rels])

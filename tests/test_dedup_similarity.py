@@ -167,3 +167,28 @@ def test_lsh_cap_no_effect_below_threshold(spark):
     }
     assert capped == uncapped
     assert (100, 101) in capped
+
+
+def test_cosine_near_duplicates(spark):
+    """Identical vectors are near-dups (sim 1.0); orthogonal ones are not;
+    the star cap keeps degenerate buckets linear with components intact."""
+    dim = 8
+    v = [1.0] * dim
+    w = [1.0, -1.0] * (dim // 2)  # orthogonal to v
+    rows = [(i, v) for i in range(10)] + [(100, w)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["id_a"], r["id_b"]): r["sim_r3"]
+        for r in similarity.cosine_near_duplicates(
+            df, threshold=0.95, n_planes=3, dim=dim, max_bucket=None
+        ).collect()
+    }
+    assert got == {(a, b): 1.0 for a in range(10) for b in range(a + 1, 10)}
+    # star collapse: same components, linear pair count
+    star = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.cosine_near_duplicates(
+            df, threshold=0.95, n_planes=3, dim=dim, max_bucket=4
+        ).collect()
+    }
+    assert star == {(0, b) for b in range(1, 10)}

@@ -119,3 +119,28 @@ def test_decompress_udf(spark):
     df = spark.createDataFrame(rows, "body binary, enc string")
     out = df.select(compress.decompress_udf("body", "enc").alias("d")).collect()
     assert all(bytes(r["d"]) == data for r in out)
+
+
+def test_brotli_zstd_gates():
+    """S14 gated codecs (VERDICT round-1 item 7): when the libs are absent
+    the decoder raises the declared stub error; when present (real
+    cluster) the roundtrip path is exercised instead of skipped."""
+    import pytest
+
+    from jcrawler_spark.functions import compress
+
+    if compress.brotli is None:
+        with pytest.raises(NotImplementedError, match="brotli"):
+            compress.decompress(b"\x00", "br")
+    else:  # pragma: no cover - lib absent in this container
+        data = compress.brotli.compress(b"hello brotli")
+        assert compress.decompress(data, "br") == b"hello brotli"
+    if compress.zstandard is None:
+        with pytest.raises(NotImplementedError, match="zstandard"):
+            compress.decompress(b"\x00", "zstd")
+    else:  # pragma: no cover
+        data = compress.zstandard.ZstdCompressor().compress(b"hello zstd")
+        assert compress.decompress(data, "zstd") == b"hello zstd"
+    # encoding/extension maps stay total either way (JCrawler.java:803-827)
+    assert compress.extension_for_encoding("br") == ".br"
+    assert compress.encoding_for_extension(".zst") == "zstd"
