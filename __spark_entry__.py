@@ -815,6 +815,57 @@ SELECT probe_id, neighbor_id, rank FROM (
 
 
 
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF-style ANN: cells = the 4 lowest-id embeddings standing in for
+    k-means centroids (deterministic; production swaps real centroids into
+    the IDENTICAL assign/search plan). Corpus bucketed once, probes search
+    only their own cell."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("long").alias("cell_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    probes = emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    return similarity.ivf_topk(emb, probes, cents, k=5).select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+    )
+
+
+_IVF_ANN_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 4
+),
+assign AS (
+  SELECT id, vec, cell_id FROM (
+    SELECT e.vec_id AS id, e.embedding AS vec, c.cell_id,
+      row_number() OVER (
+        PARTITION BY e.vec_id
+        ORDER BY {similarity.cosine_sql('e.embedding', 'c.centroid')} DESC, c.cell_id
+      ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT id AS probe_id, vec AS probe_vec, cell_id FROM assign
+  WHERE id >= 8 AND id < 16
+),
+sims AS (
+  SELECT p.probe_id, a.id AS neighbor_id,
+    {similarity.cosine_sql('p.probe_vec', 'a.vec')} AS sim
+  FROM assign a JOIN probes p ON a.cell_id = p.cell_id
+  WHERE a.id != p.probe_id
+)
+SELECT probe_id, neighbor_id, rank FROM (
+  SELECT probe_id, neighbor_id,
+    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+
+
+
 def q_cosine_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup family): hyperplane
     bucket → within-bucket pairs → cosine threshold. The synthetic
@@ -1168,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
         "cosine_near_dup": q_cosine_near_dup,
+        "ivf_ann_topk": q_ivf_ann_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -1204,6 +1256,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _COSINE_SQL,
         "lsh_ann_topk": _LSH_ANN_SQL,
         "cosine_near_dup": _COSINE_NEAR_DUP_SQL,
+        "ivf_ann_topk": _IVF_ANN_SQL,
         "lang_id": _LANG_SQL,
         "quality_score": _QUALITY_SQL,
         "token_count": _TOKEN_SQL,

@@ -192,3 +192,33 @@ def test_cosine_near_duplicates(spark):
         ).collect()
     }
     assert star == {(0, b) for b in range(1, 10)}
+
+
+def test_ivf_topk_cell_locality(spark):
+    """IVF: probes only see candidates from their own cell, and within the
+    cell the ranking is exact cosine order."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    # two well-separated clusters around +e0 and +e1
+    dim = 8
+    rows = []
+    for i in range(20):
+        base = np.zeros(dim); base[0] = 10.0
+        rows.append((i, (base + rng.rand(dim)).tolist()))
+    for i in range(20, 40):
+        base = np.zeros(dim); base[1] = 10.0
+        rows.append((i, (base + rng.rand(dim)).tolist()))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(0, rows[0][1]), (1, rows[20][1])], ["cell_id", "centroid"]
+    )
+    probes = df.where(F.col("vec_id").isin([5, 25]))
+    got = similarity.ivf_topk(df, probes, cents, k=3).collect()
+    by_probe = {}
+    for r in got:
+        by_probe.setdefault(r["probe_id"], []).append(r["neighbor_id"])
+    # cluster-0 probe only sees cluster-0 neighbors; same for cluster 1
+    assert all(n < 20 for n in by_probe[5])
+    assert all(n >= 20 for n in by_probe[25])
+    assert len(by_probe[5]) == 3 and len(by_probe[25]) == 3
