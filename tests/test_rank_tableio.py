@@ -92,3 +92,29 @@ def test_snapshot_store_blob(spark, tmp_path):
     store.commit(2, {})
     assert store.read_blob() == b"\x03"
     assert store.read_blob(as_of=1) == b"\x01\x02"
+
+
+def test_stage_append_replace_compacts(spark, tmp_path):
+    """replace=True makes this superstep's files REPLACE the accumulated
+    delta list (compaction); min_superstep skips older delta file sets."""
+    from jcrawler_spark.plans.tableio import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "st"), spark)
+    df = lambda *vals: spark.createDataFrame([(v,) for v in vals], ["id"])
+    store.stage_append("pages", df(1), 1)
+    store.commit(1)
+    store.stage_append("pages", df(2), 2)
+    store.commit(2)
+    assert sorted(r["id"] for r in store.read("pages").collect()) == [1, 2]
+    # incremental read: only deltas at/after superstep 2
+    assert [r["id"] for r in store.read("pages", min_superstep=2).collect()] == [2]
+    # compaction replaces the whole list
+    store.stage_append("pages", df(9), 3, replace=True)
+    store.commit(3)
+    assert [r["id"] for r in store.read("pages").collect()] == [9]
+    # older snapshots still read their own manifests (time travel intact)
+    assert sorted(r["id"] for r in store.read("pages", as_of=2).collect()) == [1, 2]
+    # vacuum keeps every file referenced by ANY committed manifest
+    removed = store.vacuum()
+    assert removed == 0
+    assert sorted(r["id"] for r in store.read("pages", as_of=2).collect()) == [1, 2]

@@ -30,6 +30,8 @@ CHECKS = {
     "lsh_pairs": ["HashAggregate"],
     "dedup_exact": ["HashAggregate"],
     "localize_join": ["BroadcastHashJoin"],
+    "cosine_near_dup": ["SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin"],
+    "ivf_ann_topk": ["BroadcastHashJoin"],
 }
 
 
@@ -70,6 +72,47 @@ def main() -> None:
         excerpt = "\n".join(plan.splitlines()[:40])
         out.append("```\n" + excerpt + "\n```\n")
     out.insert(1, "\n".join(summary) + "\n")
+
+    # engine fetch join vs a bucketed corpus (the large-wave path): must be
+    # a ONE-Exchange plan — only the wave shuffles, the corpus FileScan is
+    # bucketed (the Iceberg bucket-partitioned pages-table shape)
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from jcrawler_spark import corpus
+    from jcrawler_spark.engine import SyntheticFetcher
+
+    bdir = tempfile.mkdtemp(prefix="plans-bkt-")
+    tbl = corpus.write_pages_bucketed(
+        spark, bdir, "plans_pages_b", 2000, 8, partitions=4, buckets=8
+    )
+    wave = spark.range(500).select(
+        F.concat(F.lit("https://hostx/p/"), F.col("id")).alias("url"),
+        F.lit("hostx").alias("host"),
+        F.lit(0).alias("depth"),
+    )
+    fetch_plan = (
+        SyntheticFetcher(tbl)
+        .fetch(wave, approx_rows=500_000)  # force the large-wave join path
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_exchange = len(re.findall(r"Exchange", fetch_plan))
+    lines = [
+        ln.rstrip()[:110]
+        for ln in fetch_plan.splitlines()
+        if re.search(r"Exchange|SortMergeJoin|Scan parquet|Bucketed", ln)
+    ]
+    out.append(
+        "## engine fetch join vs bucketed corpus (large-wave path)\n\n"
+        f"Exchange count: {n_exchange} (must be 1 — wave side only; the "
+        "corpus scan is bucketed).\n\n```\n" + "\n".join(lines) + "\n```\n"
+    )
+    summary.append(f"- **fetch_join_bucketed**: exchanges={n_exchange}")
+    spark.sql("DROP TABLE IF EXISTS plans_pages_b")
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("\n".join(summary))
