@@ -53,3 +53,30 @@ def bfs_min_depth(
         frontier = nxt
         visited = new_visited
     return visited.select(F.col("id").alias(id_col), "depth")
+
+
+def link_graph_from_pages(pages: DataFrame) -> DataFrame:
+    """Offline re-analysis over the MEMOIZED links column (S11,
+    JCrawler.java:1379-1398): rebuild the crawl's edge list
+    (src_url, dst_url, is_resource, is_redirect, order_in_page) straight
+    from a committed pages table — no html, no re-extraction, one explode.
+    Feeds bfs_min_depth (joined through url_hash ids) or any link-analysis
+    pass; with config.recompute_links the caller re-extracts instead."""
+    return (
+        pages.where(
+            ~F.col("skipped") & F.col("error").isNull() & F.col("links").isNotNull()
+        )
+        .select(
+            F.col("url").alias("src_url"),
+            F.col("url_hash").alias("src_hash"),
+            F.explode("links").alias("l"),
+        )
+        .select(
+            "src_url",
+            "src_hash",
+            F.col("l.url").alias("dst_url"),
+            F.col("l.is_resource").alias("is_resource"),
+            F.col("l.is_redirect").alias("is_redirect"),
+            F.col("l.order_in_page").alias("order_in_page"),
+        )
+    )

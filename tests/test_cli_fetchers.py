@@ -228,3 +228,35 @@ def test_cli_postorder_and_expire_reachable():
                       "--expire", "3600", "--recomputeLinks", "--http"])
     assert a.traversal == "DEPTH_FIRST_POSTORDER"
     assert a.expire == 3600 and a.recomputeLinks and a.http
+
+
+def test_link_graph_from_memoized_pages(spark, tmp_path):
+    """Offline re-analysis: the edge list rebuilt from the memoized links
+    column equals re-extraction from the raw corpus html."""
+    from jcrawler_spark.operators import extract, graph
+
+    pages_src = corpus.build_pages_df(spark, N, H, partitions=4).cache()
+    cfg = CrawlConfig(accept=ACCEPTS, max_docs=200, max_connections=None)
+    eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages_src), str(tmp_path / "g"))
+    eng.run(seeds=[corpus.url_of(0, H)], max_supersteps=20)
+    edges = graph.link_graph_from_pages(eng.store.read("pages"))
+
+    crawled_urls = {
+        r["src_url"] for r in edges.select("src_url").distinct().collect()
+    }
+    reex = (
+        pages_src.where(F.col("url").isin(list(crawled_urls)))
+        .select(
+            F.col("url").alias("src_url"),
+            F.explode(
+                extract.extract_links_dedup_udf(
+                    "html", "url", "status", "content_type", "location"
+                )
+            ).alias("l"),
+        )
+        .select("src_url", F.col("l.url").alias("dst_url"))
+    )
+    a = {(r["src_url"], r["dst_url"]) for r in edges.select("src_url", "dst_url").collect()}
+    b = {(r["src_url"], r["dst_url"]) for r in reex.collect()}
+    assert a == b and len(a) > 50
+    pages_src.unpersist()
