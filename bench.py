@@ -155,6 +155,8 @@ def main() -> None:
         "lsh_pairs",
         "simhash",
         "cosine_topk",
+        "cosine_near_dup",
+        "ivf_ann_topk",
         "bfs_reachability",
         "token_count",
         "quality_score",

@@ -282,3 +282,32 @@ def test_redirect_link():
     assert r2["is_resource"] is True
     assert redirect_link(200, "/x", "https://e.com/") is None
     assert redirect_link(301, None, "https://e.com/") is None
+
+
+# ---------------------------------------------------------------------------
+# property-based robustness: the extractor must never throw on byte soup
+# and every emitted link obeys the skip-pipeline invariants
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_htmlish = st.one_of(
+    st.text(max_size=400),
+    st.text(
+        alphabet="<>=\"' ahrefimgsrclnkct:/.?#%&\n\tx\x00é",
+        max_size=400,
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_htmlish)
+def test_extract_links_total_and_invariant(html):
+    links = extract_links_py(html, "https://base.example/dir/page", 0)
+    for l in links:
+        assert l["url"]  # resolved, non-empty
+        assert len(l["raw_href"] or "") <= 2000  # over-long skip (F11)
+        low = l["url"].lower()
+        assert not low.startswith("data:")  # data-URI skip (F9)
+        assert "${" not in l["url"]  # template skip (F10)

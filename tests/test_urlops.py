@@ -166,3 +166,42 @@ def test_resolve_url():
         urlops.resolve_url("https://e.com/a/b.html", "c.html")
         == "https://e.com/a/c.html"
     )
+
+
+# ---------------------------------------------------------------------------
+# property-based robustness (hypothesis): the scalar pipeline must never
+# throw on adversarial inputs — a crawl meets arbitrary byte soup
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_urlish = st.one_of(
+    st.text(max_size=200),
+    st.from_regex(r"https?://[a-z0-9.\-]{1,30}(/[\x20-\x7e]{0,60})?", fullmatch=True),
+    st.text(alphabet="htps:/?#%&=. \t\x00€ü", max_size=80),
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_urlish)
+def test_sanitize_total_and_idempotent(u):
+    s1 = urlops.sanitize(u)
+    assert urlops.sanitize(s1) == s1  # idempotent
+    urlops.url_hash(u)  # total: never throws, always 64 hex
+    assert len(urlops.url_hash(u)) == 64
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.one_of(st.none(), _urlish), _urlish)
+def test_resolve_url_total(base, href):
+    out = urlops.resolve_url(base, href)
+    assert isinstance(out, str)  # never throws, never None
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urlish)
+def test_slug_and_paths_total(u):
+    assert isinstance(urlops.slug_path(u), str)
+    assert isinstance(urlops.content_path_final(u, 200, "text/html"), str)
+    assert isinstance(urlops.content_path_final(u, None, None), str)
