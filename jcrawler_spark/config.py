@@ -74,6 +74,12 @@ class CrawlConfig:
     # pending — unlike the failing-host gate, which consumes)
     enforce_crawl_delay: bool = False
     crawl_delay_seconds: int = 1
+    # wall-clock politeness (--real-clock): pace supersteps so each takes at
+    # least `seconds_per_superstep` REAL seconds — the logical clock then
+    # tracks wall time, so crawl-delay/backoff become real-world politeness
+    # (the reference's sleep-based token pool, JCrawler.java:868-897). Off =
+    # logical clock only (deterministic tests, fastest crawl).
+    real_clock: bool = False
     # mega-host skew defusal: the politeness window's phase-1 top-k runs per
     # (host, salt) so no task ever sees a mega-host's whole frontier;
     # salting is unconditional (a uniform host pays one extra tiny window)
@@ -83,6 +89,16 @@ class CrawlConfig:
     # fold the frontier add/consume delta log into one base every K
     # supersteps (bounds the pending view's plan depth); None = never
     frontier_compact_every: int | None = 8
+    # keep pages/frontier_add state bucketed by url_hash into this many
+    # buckets (Iceberg bucket-transform analogue): the per-superstep
+    # seen/pending anti-joins then shuffle ONLY the wave side — the
+    # accumulated crawl state is scanned but never re-shuffled. None =
+    # legacy plain parquet deltas (state shuffles per superstep; only for
+    # comparison). 32 matches local[32]; size to cluster cores in prod.
+    state_buckets: int | None = 32
+    # parquet codec for state deltas (write phase is disk-bound; lz4 trades
+    # a little size for cheaper encode than snappy — BENCH/BASELINE.md)
+    state_compression: str = "snappy"
     # print per-phase superstep timings (diagnostics)
     debug_timing: bool = False
     # Bloom seen-prefilter (exact anti-join still applied afterwards)

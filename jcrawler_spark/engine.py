@@ -41,7 +41,7 @@ import time
 from dataclasses import dataclass
 
 import pandas as pd
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -174,11 +174,25 @@ class CrawlEngine:
         config: CrawlConfig,
         fetcher,
         state_root: str,
+        clock=None,
+        sleep=None,
     ):
         self.spark = spark
         self.config = config
         self.fetcher = fetcher
-        self.store = SnapshotStore(state_root, spark)
+        # injectable time source for --real-clock pacing (tests pass fakes)
+        self._clock = clock if clock is not None else time.monotonic
+        self._sleep = sleep if sleep is not None else time.sleep
+        self._last_step_start: float | None = None
+        nb = config.state_buckets
+        self.store = SnapshotStore(
+            state_root,
+            spark,
+            bucketed=(
+                {"pages": nb, "frontier_add": nb} if nb is not None else None
+            ),
+            compression=config.state_compression,
+        )
         self.accept_set: list[str] = []
         self.superstep = 0
         self.emitted_count = 0
@@ -280,6 +294,9 @@ class CrawlEngine:
         last = self.store.last_superstep()
         if last is None:
             raise ValueError("nothing to resume from")
+        # a crashed half-written superstep leaves orphan files in the
+        # bucketed state dirs; they'd alias the retried superstep's rows
+        self.store.sync_bucketed()
         c = self.store.counters(last)
         self.superstep = last
         self.emitted_count = c["emitted_count"]
@@ -394,6 +411,19 @@ class CrawlEngine:
     def step(self) -> StepStats | None:
         t0 = time.monotonic()
         cfg = self.config
+        # --real-clock pacing: a superstep may not START sooner than
+        # seconds_per_superstep after the previous one started, so one
+        # logical tick ≈ one wall tick and crawl_delay_seconds /
+        # failing_host_backoff_seconds become real-world politeness. A step
+        # slower than the tick is never padded further (no double delay).
+        if cfg.real_clock:
+            now = self._clock()
+            if self._last_step_start is not None:
+                wait = self._last_step_start + cfg.seconds_per_superstep - now
+                if wait > 0:
+                    self._sleep(wait)
+                    now = self._clock()
+            self._last_step_start = now
         s = self.superstep + 1
 
         def _tick(label: str, since: list[float]) -> None:
@@ -502,18 +532,38 @@ class CrawlEngine:
             .persist()
         )
 
-        # lineage collect doubles as the count action (rows are ≤ #partitions)
+        # lineage collect doubles as the count action (rows are ≤ #partitions);
+        # the union leg counts gate-skipped rows in the SAME job, so wave_n =
+        # fetch_n + skipped_n needs no extra job and no Observation (observed
+        # metrics through the bucketed saveAsTable write proved unreliable
+        # after a resume — empty-row AssertionError on first post-resume get)
         lineage_rows = (
-            fetched.groupBy(F.spark_partition_id().alias("partition_id"))
+            fetched.select(
+                F.spark_partition_id().alias("partition_id"),
+                "error",
+                F.lit(False).alias("was_skipped"),
+            )
+            .unionByName(
+                skipped.select(
+                    F.spark_partition_id().alias("partition_id"),
+                    F.lit(None).cast("string").alias("error"),
+                    F.lit(True).alias("was_skipped"),
+                )
+            )
+            .groupBy("partition_id")
             .agg(
-                F.count("*").alias("rows_in"),
-                F.count(F.when(F.col("error").isNull(), 1)).alias("fetched"),
+                F.count(F.when(~F.col("was_skipped"), 1)).alias("rows_in"),
+                F.count(
+                    F.when(~F.col("was_skipped") & F.col("error").isNull(), 1)
+                ).alias("fetched"),
                 F.count(F.when(F.col("error").isNotNull(), 1)).alias("errors"),
+                F.count(F.when(F.col("was_skipped"), 1)).alias("skipped"),
             )
             .collect()
         )
         fetch_n = sum(r["rows_in"] for r in lineage_rows)
         err_n = sum(r["errors"] for r in lineage_rows)
+        skipped_n = sum(r["skipped"] for r in lineage_rows)
         _tick("fetch+extract+lineage", tick)
 
         # one consolidated wave-result delta: every popped URL (fetched or
@@ -572,8 +622,12 @@ class CrawlEngine:
             cfg.depth,
         )
         ignored = None
-        if cfg.track_ignored_domains:
+        # both the ignored-domains aggregate and the robots-rules leg
+        # re-traverse `links`; persist once if any second consumer exists
+        links_persisted = cfg.track_ignored_domains or cfg.enforce_robots
+        if links_persisted:
             links = links.persist()
+        if cfg.track_ignored_domains:
             ignored = (
                 links.where(F.col("ignored_domain").isNotNull())
                 .select(F.col("ignored_domain").alias("host"))
@@ -601,6 +655,13 @@ class CrawlEngine:
                 .where(F.col("rn") == 1)
                 .drop("rn")
             )
+            # not already pending (horizonSet gate,
+            # ParallelGraphTraverser.java:96-105); wave ⊆ seen this
+            # superstep. Runs BEFORE the bloom split: here cand still
+            # carries the window's hashpartitioning(url_hash), so with a
+            # bucketed frontier this anti-join adds NO exchange at all —
+            # after the fresh∪maybe union that partitioning would be lost.
+            cand = cand.join(pending.select("url_hash"), "url_hash", "left_anti")
             seen_tbl = self._seen_hashes()
             if cfg.bloom_enabled and self._bloom is not None:
                 cand = bloom_ops.prefilter_auto(self.spark, cand, self._bloom)
@@ -612,9 +673,6 @@ class CrawlEngine:
             else:
                 if seen_tbl is not None:
                     cand = cand.join(seen_tbl, "url_hash", "left_anti")
-            # not already pending (horizonSet gate,
-            # ParallelGraphTraverser.java:96-105); wave ⊆ seen this superstep
-            cand = cand.join(pending.select("url_hash"), "url_hash", "left_anti")
 
         # ---- deterministic rank → order_key/path_key for new rows ----
         new_rows, new_n = self._rank_new(cand, s)
@@ -633,12 +691,25 @@ class CrawlEngine:
             and s % cfg.frontier_compact_every == 0
         )
         if compact:
+            # surviving rows are rewritten AT superstep s: a compacted add
+            # provably has no consumption ≤ s, so `c_superstep >= s` keeps
+            # the compose exact — and in the bucketed store, old delta
+            # files (all rows < s) drop below the floor without a rewrite
             compacted = (
                 pending.join(wave.select("url_hash"), "url_hash", "left_anti")
                 .unionByName(frontier_add)
+                .withColumn("superstep", F.lit(s))
             )
 
         # ---- host_state update (logical clock) ----
+        # Readers consult host_state only for: last_error (failing-host
+        # gate — written whenever errors occur), last_fetch (crawl-delay —
+        # only read when enforced), robots rules (only when enforced). A
+        # default-config superstep with zero errors can skip the rewrite
+        # entirely — the prior snapshot carries forward in the manifest.
+        need_host_state = (
+            cfg.enforce_crawl_delay or cfg.enforce_robots or err_n > 0
+        )
         fetch_hosts = fetched.groupBy("host").agg(
             F.max(F.when(F.col("error").isNull(), F.lit(s))).alias(
                 "last_fetch_superstep"
@@ -713,8 +784,6 @@ class CrawlEngine:
         # ---- atomic commit ----
         if err_n > 0:
             self._any_host_errors = True
-        obs = Observation(f"wave-{s}")
-        pages_delta = pages_delta.observe(obs, F.count(F.lit(1)).alias("n"))
         appends = {"pages": pages_delta, "lineage": lineage}
         replaces = {}
         if compact:
@@ -724,10 +793,13 @@ class CrawlEngine:
         if ignored is not None:
             appends["ignored_domains"] = ignored.withColumn("superstep", F.lit(s))
         self.store.stage_all(
-            s, appends, {"host_state": next_hs}, replaces=replaces
+            s,
+            appends,
+            {"host_state": next_hs} if need_host_state else {},
+            replaces=replaces,
         )
         if wave_n < 0:
-            wave_n = int(obs.get["n"])  # free: observed during the write job
+            wave_n = fetch_n + skipped_n  # both observed in the lineage job
         self.emitted_count += wave_n
         if self._bloom is not None:
             self.store.stage_blob("bloom", self._bloom.to_bytes(), s)
@@ -756,7 +828,7 @@ class CrawlEngine:
         )
         wave.unpersist()
         fetched.unpersist()
-        if ignored is not None:
+        if links_persisted:
             links.unpersist()
         if self._rank_cache is not None:
             self._rank_cache.unpersist()

@@ -438,18 +438,22 @@ def localize(
     allow_external: bool = True,
     strategy: str = "auto",
     broadcast_max_urls: int = 2_000_000,
+    approx_rows: int | None = None,
 ) -> DataFrame:
     """J1+srcset+J2 over the pages table → (url, path, html_local).
 
     Only 200-status HTML pages are rewritten; others map verbatim
     (Rewriter.processDirectory copies non-HTML as-is, Rewriter.java:93-100).
     strategy: 'broadcast' | 'join' | 'auto' (join above broadcast_max_urls).
+    'auto' uses the caller's ``approx_rows`` hint when given (the engine
+    always knows its table sizes) and only falls back to a count() job
+    when it genuinely has no idea.
     """
     if strategy == "broadcast":
         return _localize_broadcast(pages)
     if strategy == "join":
         return _localize_join(pages)
-    n = pages.select("url").count()
+    n = approx_rows if approx_rows is not None else pages.select("url").count()
     if n <= broadcast_max_urls:
         return _localize_broadcast(pages)
     return _localize_join(pages)

@@ -29,6 +29,7 @@ symlink uniqueness in the reference, JCrawler.java:1005-1010).
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -37,6 +38,7 @@ import uuid
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 APPEND_TABLES = (
     "pages", "lineage", "ignored_domains", "frontier_add", "frontier_consumed",
@@ -45,13 +47,119 @@ SNAP_TABLES = ("host_state", "frontier")
 
 
 class SnapshotStore:
-    def __init__(self, root: str, spark: SparkSession):
-        self.root = root
+    """``bucketed`` maps append-table name → bucket count: those tables are
+    kept as catalog parquet tables CLUSTERED BY (url_hash) — the sandbox
+    analogue of an Iceberg ``bucket(N, url_hash)`` partition transform. A
+    join/anti-join against such a table on url_hash shuffles ONLY the other
+    side (the wave); the accumulated crawl state is never re-shuffled
+    (north rule; VERDICT r2 #1). Snapshot isolation for bucketed tables is
+    the ``superstep`` column: readers filter ``superstep <= committed``
+    (parquet file-stats prune whole files — every delta file is
+    single-superstep), so staged or crash-orphan files are invisible, and
+    compaction rewrites rows AT the compaction superstep so dead files fall
+    below the recorded ``floor``. The bucketing spec is recorded in the
+    manifest, so a reader store needs no constructor hints."""
+
+    def __init__(
+        self,
+        root: str,
+        spark: SparkSession,
+        bucketed: dict[str, int] | None = None,
+        bucket_key: str = "url_hash",
+        compression: str = "snappy",
+    ):
+        self.root = os.path.abspath(root)
         self.spark = spark
+        self.bucket_key = bucket_key
+        self.compression = compression
         os.makedirs(os.path.join(root, "checkpoints"), exist_ok=True)
         self._staged: dict[str, list[str]] = {}
         self._staged_replace: set[str] = set()
+        # table -> list of (superstep, [new data files], replace)
+        self._staged_bucketed: dict[str, list[tuple[int, list[str], bool]]] = {}
         self._lock = threading.Lock()
+        self._bucketed: dict[str, dict] = {
+            t: {"nb": nb} for t, nb in (bucketed or {}).items()
+        }
+        last = self.last_superstep()
+        if last is not None:
+            # committed spec is authoritative (readers self-configure)
+            for t, spec in self._manifest(last).get("bucketed", {}).items():
+                self._bucketed[t] = {
+                    k: spec[k] for k in ("nb", "ddl", "cols", "floor")
+                }
+        elif self._bucketed:
+            # fresh store on a possibly-reused root: drop stale catalog
+            # entries and data dirs so old files can't shadow the new crawl
+            for t in self._bucketed:
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._catalog_name(t)}"
+                )
+                d = os.path.join(self.root, t)
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+
+    # ---- bucketed catalog tables ----
+
+    def _catalog_name(self, table: str) -> str:
+        tag = hashlib.md5(self.root.encode()).hexdigest()[:12]
+        return f"jc_state_{tag}_{table}"
+
+    def is_bucketed(self, table: str) -> bool:
+        return table in self._bucketed
+
+    def _register_bucketed(self, table: str) -> str:
+        """Ensure the catalog entry exists (idempotent; rebuilt after a
+        session restart — the in-memory catalog does not persist)."""
+        spec = self._bucketed[table]
+        name = self._catalog_name(table)
+        if not self.spark.catalog.tableExists(name):
+            self.spark.sql(
+                f"CREATE TABLE {name} ({spec['ddl']}) USING parquet "
+                f"CLUSTERED BY ({self.bucket_key}) "
+                f"SORTED BY ({self.bucket_key}) INTO {spec['nb']} BUCKETS "
+                f"LOCATION '{os.path.join(self.root, table)}'"
+            )
+        return name
+
+    def _list_data_files(self, table: str) -> set[str]:
+        d = os.path.join(self.root, table)
+        if not os.path.isdir(d):
+            return set()
+        return {
+            os.path.join(table, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(".")
+        }
+
+    def _stage_append_bucketed(
+        self, table: str, df: DataFrame, superstep: int, replace: bool
+    ) -> None:
+        spec = self._bucketed[table]
+        if "ddl" not in spec:
+            spec["ddl"] = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}"
+                for f in df.schema.fields
+            )
+            spec["cols"] = list(df.columns)
+            spec.setdefault("floor", 0)
+        name = self._register_bucketed(table)
+        before = self._list_data_files(table)
+        (
+            df.repartition(spec["nb"], self.bucket_key)
+            .write.mode("append")
+            .format("parquet")
+            .option("path", os.path.join(self.root, table))
+            .option("compression", self.compression)
+            .bucketBy(spec["nb"], self.bucket_key)
+            .sortBy(self.bucket_key)
+            .saveAsTable(name)
+        )
+        new = sorted(self._list_data_files(table) - before)
+        with self._lock:
+            self._staged_bucketed.setdefault(table, []).append(
+                (superstep, new, replace)
+            )
 
     # ---- commit log ----
 
@@ -83,6 +191,9 @@ class SnapshotStore:
         `replace=True` makes this superstep's files REPLACE the table's
         whole accumulated file list at commit (delta compaction — Iceberg's
         rewrite-data-files): prior files become vacuum-able orphans."""
+        if table in self._bucketed:
+            self._stage_append_bucketed(table, df, superstep, replace)
+            return
         rel = os.path.join(table, f"delta-{superstep:08d}-{uuid.uuid4().hex[:8]}.parquet")
         df.write.mode("overwrite").parquet(os.path.join(self.root, rel))
         with self._lock:
@@ -140,11 +251,16 @@ class SnapshotStore:
         base: dict[str, list[str]] = {}
         snaps: dict[str, str] = {}
         blobs: list[str] = []
+        bucketed_m: dict[str, dict] = {}
         if prev is not None:
             m = self._manifest(prev)
             base = {t: list(fs) for t, fs in m["appends"].items()}
             snaps = dict(m["snapshots"])
             blobs = list(m.get("blobs", []))
+            bucketed_m = {
+                t: dict(spec, files=dict(spec.get("files", {})))
+                for t, spec in m.get("bucketed", {}).items()
+            }
         for t, rels in self._staged.items():
             if t == "__blobs__":
                 blobs = rels  # latest blob set replaces (bloom is cumulative bits)
@@ -154,11 +270,35 @@ class SnapshotStore:
                 base[t] = list(rels)  # compaction: replace the file list
             else:
                 base.setdefault(t, []).extend(rels)
+        for t, entries in self._staged_bucketed.items():
+            spec = self._bucketed[t]
+            cur = bucketed_m.get(
+                t,
+                {
+                    "nb": spec["nb"], "ddl": spec["ddl"],
+                    "cols": spec["cols"], "floor": spec.get("floor", 0),
+                    "files": {},
+                },
+            )
+            for s, rels, replace in entries:
+                if replace:
+                    # compaction: rows were rewritten AT superstep s, so
+                    # older files (all rows < s) fall below the floor —
+                    # physically present until vacuum, logically invisible
+                    cur["floor"] = s
+                    cur["files"] = {
+                        r: fs for r, fs in cur["files"].items() if fs >= s
+                    }
+                for r in rels:
+                    cur["files"][r] = s
+            bucketed_m[t] = cur
+            spec["floor"] = cur["floor"]
         manifest = {
             "superstep": superstep,
             "appends": base,
             "snapshots": snaps,
             "blobs": blobs,
+            "bucketed": bucketed_m,
             "counters": counters or {},
         }
         tmp = self._ckpt_path(superstep) + ".tmp"
@@ -167,6 +307,7 @@ class SnapshotStore:
         os.replace(tmp, self._ckpt_path(superstep))
         self._staged = {}
         self._staged_replace = set()
+        self._staged_bucketed = {}
 
     # ---- reads (snapshot-as-of) ----
 
@@ -185,6 +326,9 @@ class SnapshotStore:
         if s is None:
             return None
         m = self._manifest(s)
+        bm = m.get("bucketed", {}).get(table)
+        if bm is not None:
+            return self._read_bucketed(table, bm, s, min_superstep)
         if table in SNAP_TABLES:
             rel = m["snapshots"].get(table)
             if rel is None:
@@ -199,6 +343,53 @@ class SnapshotStore:
         if not rels:
             return None
         return self.spark.read.parquet(*[os.path.join(self.root, r) for r in rels])
+
+    def _read_bucketed(
+        self, table: str, bm: dict, s: int, min_superstep: int | None
+    ) -> DataFrame | None:
+        if not bm["files"]:
+            return None
+        if table not in self._bucketed:  # reader store without hints
+            self._bucketed[table] = {
+                k: bm[k] for k in ("nb", "ddl", "cols", "floor")
+            }
+        if s == self.last_superstep():
+            # bucketed catalog scan: outputPartitioning =
+            # HashPartitioning(url_hash, nb) — joins against it shuffle only
+            # the other side. The superstep filters are file-stats prunes.
+            name = self._register_bucketed(table)
+            df = self.spark.table(name).where(F.col("superstep") <= F.lit(s))
+        else:
+            # time travel: exact committed file list, plain parquet read
+            # (bucketing metadata is lost, correctness is not)
+            df = self.spark.read.parquet(
+                *[os.path.join(self.root, r) for r in bm["files"]]
+            )
+        lo = max(bm.get("floor", 0), min_superstep or 0)
+        if lo > 0:
+            df = df.where(F.col("superstep") >= F.lit(lo))
+        return df.select(*bm["cols"])
+
+    def sync_bucketed(self) -> int:
+        """Delete bucketed-table data files not referenced by ANY committed
+        manifest — crash orphans from a half-written superstep, which would
+        otherwise become visible duplicates when that superstep is retried.
+        Called on resume/rollback; returns files removed."""
+        if not self._bucketed:
+            return 0
+        referenced: set[str] = set()
+        for s in self.committed_supersteps():
+            for spec in self._manifest(s).get("bucketed", {}).values():
+                referenced.update(spec.get("files", {}))
+        removed = 0
+        for t in self._bucketed:
+            for rel in self._list_data_files(t) - referenced:
+                os.remove(os.path.join(self.root, rel))
+                removed += 1
+            name = self._catalog_name(t)
+            if self.spark.catalog.tableExists(name):
+                self.spark.catalog.refreshTable(name)
+        return removed
 
     def read_blob(self, as_of: int | None = None) -> bytes | None:
         s = as_of if as_of is not None else self.last_superstep()
@@ -233,6 +424,8 @@ class SnapshotStore:
                 referenced.update(fs)
             referenced.update(m["snapshots"].values())
             referenced.update(m.get("blobs", []))
+            for spec in m.get("bucketed", {}).values():
+                referenced.update(spec.get("files", {}))
         removed = 0
         for table in (*APPEND_TABLES, *SNAP_TABLES, "bloom"):
             d = os.path.join(self.root, table)
@@ -240,11 +433,18 @@ class SnapshotStore:
                 continue
             for f in os.listdir(d):
                 rel = os.path.join(table, f)
-                if rel not in referenced and not f.endswith(".tmp"):
-                    full = os.path.join(self.root, rel)
-                    if os.path.isdir(full):
-                        shutil.rmtree(full)
-                    else:
-                        os.remove(full)
-                    removed += 1
+                if rel in referenced or f.endswith(".tmp"):
+                    continue
+                if table in self._bucketed and not f.endswith(".parquet"):
+                    continue  # keep _SUCCESS/.crc sidecars of bucketed dirs
+                full = os.path.join(self.root, rel)
+                if os.path.isdir(full):
+                    shutil.rmtree(full)
+                else:
+                    os.remove(full)
+                removed += 1
+        for t in self._bucketed:
+            name = self._catalog_name(t)
+            if self.spark.catalog.tableExists(name):
+                self.spark.catalog.refreshTable(name)
         return removed

@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--enforce-robots", action="store_true")
     p.add_argument("--crawl-delay", type=int, default=0,
                    help="per-host delay in logical seconds (0 = off)")
+    p.add_argument("--real-clock", action="store_true",
+                   help="pace supersteps on wall time (each takes at least "
+                        "one logical tick of real seconds), so --crawl-delay "
+                        "is real-world politeness, like the reference's "
+                        "sleeping token pool")
     p.add_argument("--state", default="./crawl-state",
                    help="snapshot-store root (Iceberg-style commit log)")
     p.add_argument("--resume", action="store_true",
@@ -109,6 +114,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         enforce_robots=args.enforce_robots,
         enforce_crawl_delay=args.crawl_delay > 0,
         crawl_delay_seconds=max(args.crawl_delay, 1),
+        real_clock=args.real_clock,
     )
     eng = CrawlEngine(spark, cfg, fetcher, args.state)
     if args.resume:

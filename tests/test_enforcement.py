@@ -66,3 +66,62 @@ def test_crawl_delay_defers_not_drops(spark, tmp_path):
     for host, steps in by_host.items():
         for a, b in zip(steps, steps[1:]):
             assert b - a >= 2, f"{host} fetched at {a} and {b}"
+
+
+def test_real_clock_paces_supersteps(spark, tmp_path):
+    """--real-clock (VERDICT r2 #8): with an injected fake clock, superstep
+    k may not start sooner than seconds_per_superstep after superstep k-1
+    started — so crawl_delay on the logical clock is wall-clock politeness.
+    Emission is unchanged (pacing never reorders or drops)."""
+
+    class FakeClock:
+        def __init__(self):
+            self.t = 1000.0
+            self.sleeps: list[float] = []
+
+        def clock(self):
+            # each read advances a little (work takes nonzero time)
+            self.t += 0.05
+            return self.t
+
+        def sleep(self, dt):
+            assert dt > 0
+            self.sleeps.append(dt)
+            self.t += dt
+
+    pages = corpus.build_pages_df(spark, N, H, partitions=4)
+    cfg = CrawlConfig(
+        accept=ACCEPTS, max_docs=500, max_connections=None,
+        real_clock=True, seconds_per_superstep=5,
+    )
+    fake = FakeClock()
+    root = str(tmp_path / "paced")
+    shutil.rmtree(root, ignore_errors=True)
+    eng = CrawlEngine(
+        spark, cfg, SyntheticFetcher(pages), root,
+        clock=fake.clock, sleep=fake.sleep,
+    )
+    starts: list[float] = []
+    orig_step = CrawlEngine.step
+
+    def spy_step(self):
+        st = orig_step(self)
+        if st is not None:
+            starts.append(self._last_step_start)
+        return st
+
+    CrawlEngine.step = spy_step
+    try:
+        stats = eng.run(seeds=[corpus.url_of(0, H)], max_supersteps=60)
+    finally:
+        CrawlEngine.step = orig_step
+    assert len(stats) >= 3
+    # every superstep start is >= one tick after the previous start
+    for a, b in zip(starts, starts[1:]):
+        assert b - a >= 5.0 - 1e-9, f"paced too fast: {b - a:.3f}s"
+    # the fake work (0.05s/read) is far below the tick, so sleeps happened
+    assert fake.sleeps and all(dt <= 5.0 for dt in fake.sleeps)
+
+    # pacing changes nothing about the crawl itself
+    eng_off, _ = _run(spark, tmp_path, "unpaced")
+    assert eng.visited_set() == eng_off.visited_set()

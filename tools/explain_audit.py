@@ -112,6 +112,98 @@ def main() -> None:
     )
     summary.append(f"- **fetch_join_bucketed**: exchanges={n_exchange}")
     spark.sql("DROP TABLE IF EXISTS plans_pages_b")
+    assert n_exchange == 1, (
+        f"bucketed fetch join must shuffle only the wave side, got "
+        f"{n_exchange} Exchanges"
+    )
+
+    # crawl-state anti-joins vs the bucketed snapshot store (VERDICT r2 #1):
+    # the per-superstep seen gate (engine._seen_hashes left_anti) and the
+    # pending compose (frontier_add ∖ consumed pages) must NEVER re-shuffle
+    # the accumulated state — only the wave side may exchange. The store
+    # keeps pages/frontier_add as CLUSTERED BY (url_hash) catalog tables, so
+    # their scans carry HashPartitioning(url_hash, nb).
+    from jcrawler_spark.plans.tableio import SnapshotStore
+
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sroot = tempfile.mkdtemp(prefix="plans-state-")
+    store = SnapshotStore(sroot, spark, bucketed={"pages": nb, "frontier_add": nb})
+
+    def fake_state(s, tag, n):
+        return spark.range(n).select(
+            F.sha2(F.concat(F.lit(tag), F.col("id").cast("string")), 256).alias(
+                "url_hash"
+            ),
+            F.lit(s).alias("superstep"),
+        )
+
+    for s in (1, 2):
+        store.stage_all(
+            s,
+            {"pages": fake_state(s, "p", 4000), "frontier_add": fake_state(s, "f", 4000)},
+            {},
+        )
+        store.commit(s, {})
+
+    wave = spark.range(500).select(
+        F.sha2(F.concat(F.lit("w"), F.col("id").cast("string")), 256).alias(
+            "url_hash"
+        )
+    )
+
+    def audit_anti(name, plan_df, max_exchanges):
+        """Count SHUFFLE exchanges only (at toy size the planner rightly
+        broadcasts the small side instead of using the buckets; broadcast
+        is disabled around these audits to surface the at-scale SMJ plan)."""
+        plan = (
+            plan_df._jdf.queryExecution().executedPlan().toString()
+        )
+        n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+        lines = [
+            ln.rstrip()[:110]
+            for ln in plan.splitlines()
+            if re.search(r"Exchange|SortMergeJoin|Scan parquet|Bucketed", ln)
+        ]
+        out.append(
+            f"## {name}\n\nShuffle-Exchange count: {n_ex} (must be ≤ "
+            f"{max_exchanges} — wave side only; the state scan is bucketed)."
+            "\n\n```\n" + "\n".join(lines) + "\n```\n"
+        )
+        summary.append(f"- **{name}**: shuffle_exchanges={n_ex}")
+        assert n_ex <= max_exchanges, (
+            f"{name}: accumulated state must not re-shuffle "
+            f"({n_ex} shuffle Exchanges > {max_exchanges})"
+        )
+        n_state_scans = len(re.findall(r"FileScan parquet \S*jc_state", plan))
+        n_bucketed = len(re.findall(r"Bucketed: true", plan))
+        assert n_state_scans and n_bucketed == n_state_scans, (
+            f"{name}: every state scan must be bucketed "
+            f"({n_bucketed}/{n_state_scans})"
+        )
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+    seen = store.read("pages").select("url_hash")
+    audit_anti("seen anti-join vs bucketed pages", wave.join(seen, "url_hash", "left_anti"), 1)
+
+    # the pending compose: BOTH sides bucketed on url_hash → zero Exchange
+    adds = store.read("frontier_add")
+    consumed = store.read("pages").select(
+        F.col("url_hash").alias("c_hash"), F.col("superstep").alias("c_superstep")
+    )
+    pending = adds.join(
+        consumed,
+        (adds["url_hash"] == consumed["c_hash"])
+        & (consumed["c_superstep"] >= adds["superstep"]),
+        "left_anti",
+    )
+    audit_anti("pending compose (adds ∖ consumed), both bucketed", pending, 0)
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    for t in ("pages", "frontier_add"):
+        spark.sql(f"DROP TABLE IF EXISTS {store._catalog_name(t)}")
 
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
