@@ -140,27 +140,71 @@ class HttpFetcher:
 
     Engine contract: ``fetch(wave, approx_rows=None)`` returns the wave's
     columns + (html, status, location, content_type, text, error) — the
-    exact shape SyntheticFetcher produces."""
+    exact shape SyntheticFetcher produces.
+
+    GETs within each Arrow batch run CONCURRENTLY on a bounded thread pool,
+    with a per-host semaphore capping in-flight requests at
+    ``max_connections`` — the reference's token pool
+    (JCrawler.java:868,892-897: a Semaphore-guarded connection budget that
+    workers acquire per request). Task wall-time is therefore
+    ~max(per-host ceil(n/max_connections) × latency), not Σ latencies.
+    Threads waiting on a host token occupy a pool slot — same blocking
+    semantics as the reference's ``semaphore.acquire()``; size ``pool_size``
+    ≥ expected distinct hosts per batch × max_connections to avoid it."""
 
     def __init__(self, timeout_s: float = 20.0, max_bytes: int = 64 << 20,
-                 fetch_partitions: int | None = None):
+                 fetch_partitions: int | None = None,
+                 max_connections: int = 3, pool_size: int = 32):
         self.timeout_s = timeout_s
         self.max_bytes = max_bytes
         # spread the wave across this many tasks (politeness upstream
         # already capped per-host rows; more tasks = more parallel hosts)
         self.fetch_partitions = fetch_partitions
+        # per-host concurrent-request cap (reference token pool); None/0 =
+        # unbounded within the pool
+        self.max_connections = max_connections
+        # total concurrent GETs per task (pool threads per Arrow batch)
+        self.pool_size = pool_size
 
     def fetch(self, wave: DataFrame, approx_rows: int | None = None) -> DataFrame:
         out_schema = T.StructType(
             list(wave.schema.fields) + list(_FETCH_COLS.fields)
         )
         timeout_s, max_bytes = self.timeout_s, self.max_bytes
+        max_conn, pool_size = self.max_connections, self.pool_size
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import threading
+            from concurrent.futures import ThreadPoolExecutor
+            from urllib.parse import urlsplit
+
             for b in batches:
-                results = [
-                    fetch_one(u, timeout_s, max_bytes) for u in b["url"]
-                ]
+                urls = list(b["url"])
+                if "host" in b.columns:
+                    hosts = list(b["host"])
+                else:
+                    hosts = [urlsplit(u).hostname or "" for u in urls]
+                results: list[dict | None] = [None] * len(urls)
+                sems = (
+                    {h: threading.Semaphore(max_conn) for h in set(hosts)}
+                    if max_conn
+                    else None
+                )
+
+                def work(i: int) -> None:
+                    if sems is None:
+                        results[i] = fetch_one(urls[i], timeout_s, max_bytes)
+                        return
+                    with sems[hosts[i]]:
+                        results[i] = fetch_one(urls[i], timeout_s, max_bytes)
+
+                n_workers = max(1, min(pool_size, len(urls)))
+                if n_workers == 1:
+                    for i in range(len(urls)):
+                        work(i)
+                else:
+                    with ThreadPoolExecutor(max_workers=n_workers) as ex:
+                        list(ex.map(work, range(len(urls))))
                 r = pd.DataFrame(results, columns=[f.name for f in _FETCH_COLS])
                 yield pd.concat(
                     [b.reset_index(drop=True), r.reset_index(drop=True)], axis=1

@@ -35,11 +35,32 @@ ACCEPTS = [f"host{i}.example" for i in range(H)]
 
 
 class _StubHandler(http.server.BaseHTTPRequestHandler):
+    # in-flight tracking for the concurrency tests (class-level, reset
+    # by the tests that use it)
+    _lock = threading.Lock()
+    inflight = 0
+    max_inflight = 0
+
     def log_message(self, *a):  # quiet
         pass
 
     def do_GET(self):
-        if self.path == "/ok":
+        if self.path.startswith("/slow"):
+            import time as _t
+
+            with _StubHandler._lock:
+                _StubHandler.inflight += 1
+                _StubHandler.max_inflight = max(
+                    _StubHandler.max_inflight, _StubHandler.inflight
+                )
+            _t.sleep(0.5)
+            with _StubHandler._lock:
+                _StubHandler.inflight -= 1
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.end_headers()
+            self.wfile.write(b"<html>slow</html>")
+        elif self.path == "/ok":
             body = b"<html><body><a href='/next'>n</a></body></html>"
             self.send_response(200)
             self.send_header("Content-Type", "text/html; charset=utf-8")
@@ -134,6 +155,49 @@ def test_http_fetcher_row_shape_matches_synthetic(spark, stub_server):
     http_cols = {f.name: f.dataType.simpleString() for f in out.schema.fields}
     syn_cols = {f.name: f.dataType.simpleString() for f in syn.schema.fields}
     assert http_cols == syn_cols
+
+
+def test_http_fetcher_concurrent_within_batch(spark, stub_server):
+    """N slow URLs in ONE Arrow batch complete in ~1 slow-URL time when the
+    per-host cap allows it (VERDICT r2 #2: the reference's token pool is
+    concurrent, JCrawler.java:868,892-897 — serial Σ-latency is wrong)."""
+    import time
+
+    n = 8
+    wave = spark.createDataFrame(
+        [(f"{stub_server}/slow/{i}", "127.0.0.1", 0) for i in range(n)],
+        ["url", "host", "depth"],
+    ).coalesce(1)
+    _StubHandler.max_inflight = 0
+    t0 = time.monotonic()
+    out = HttpFetcher(timeout_s=10, max_connections=n).fetch(
+        wave, approx_rows=n
+    )
+    rows = out.collect()
+    elapsed = time.monotonic() - t0
+    assert len(rows) == n and all(r["status"] == 200 for r in rows)
+    # serial would be n*0.5 = 4.0s; concurrent ≈ 0.5s + overhead
+    assert elapsed < 2.5, f"batch fetch not concurrent: {elapsed:.2f}s"
+    assert _StubHandler.max_inflight > 1
+
+
+def test_http_fetcher_per_host_cap_honored(spark, stub_server):
+    """max_connections bounds in-flight requests per host even when the
+    pool has spare threads (politeness cap, reference token semantics)."""
+    n, cap = 6, 2
+    wave = spark.createDataFrame(
+        [(f"{stub_server}/slow/{i}", "127.0.0.1", 0) for i in range(n)],
+        ["url", "host", "depth"],
+    ).coalesce(1)
+    _StubHandler.max_inflight = 0
+    out = HttpFetcher(timeout_s=10, max_connections=cap, pool_size=16).fetch(
+        wave, approx_rows=n
+    )
+    rows = out.collect()
+    assert len(rows) == n and all(r["status"] == 200 for r in rows)
+    assert _StubHandler.max_inflight <= cap, (
+        f"per-host cap violated: {_StubHandler.max_inflight} > {cap}"
+    )
 
 
 # ---------------------------------------------------------------------------
