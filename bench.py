@@ -157,6 +157,7 @@ def main() -> None:
         "cosine_topk",
         "cosine_near_dup",
         "ivf_ann_topk",
+        "multiprobe_ann_topk",
         "bfs_reachability",
         "token_count",
         "quality_score",

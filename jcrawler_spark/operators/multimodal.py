@@ -204,6 +204,40 @@ DECODED_FEATURES = T.StructType(
 )
 
 
+def decoded_features_row(
+    media_id: int, mime: str, content: bytes | None,
+    thumb: tuple[int, int] = (8, 8),
+) -> dict:
+    """Pure per-row decode→feature pipeline — the single source of truth
+    shared by the Spark UDF below AND the DuckDB oracle generator
+    (tools/gen_media_oracle.py), so the contract check verifies the Spark
+    PLUMBING (Arrow batching, schema, partitioning) bit-for-bit."""
+    tw, th = thumb
+    out = {
+        "media_id": int(media_id), "decoded": False, "kind": None,
+        "width": None, "height": None, "mean_rgb": None,
+        "thumb64": None, "sample_rate": None, "duration_ms": None,
+        "rms": None, "decode_error": None,
+    }
+    try:
+        d = decode_media(bytes(content) if content is not None else b"", mime)
+        out["decoded"] = True
+        out["kind"] = d["kind"]
+        if d["kind"] == "image":
+            px = d["pixels"]
+            out["height"], out["width"] = int(px.shape[0]), int(px.shape[1])
+            out["mean_rgb"] = [float(x) for x in px.mean(axis=(0, 1))]
+            out["thumb64"] = resize_image(px, tw, th).tobytes()
+        else:
+            s, sr = d["samples"], d["sample_rate"]
+            out["sample_rate"] = int(sr)
+            out["duration_ms"] = int(1000 * len(s) / sr) if sr else 0
+            out["rms"] = float(np.sqrt((s ** 2).mean())) if len(s) else 0.0
+    except NotImplementedError as e:
+        out["decode_error"] = str(e)
+    return out
+
+
 def extract_decoded_features(
     media: DataFrame, thumb: tuple[int, int] = (8, 8)
 ) -> DataFrame:
@@ -214,37 +248,14 @@ def extract_decoded_features(
     come back decoded=false with the stub error recorded — the pipeline
     shape is identical when PIL/ffmpeg replace the dispatch."""
 
-    tw, th = thumb
-
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            rows = []
-            for mid, mime, content in zip(b["media_id"], b["mime"], b["content"]):
-                out = {
-                    "media_id": int(mid), "decoded": False, "kind": None,
-                    "width": None, "height": None, "mean_rgb": None,
-                    "thumb64": None, "sample_rate": None, "duration_ms": None,
-                    "rms": None, "decode_error": None,
-                }
-                try:
-                    d = decode_media(
-                        bytes(content) if content is not None else b"", mime
-                    )
-                    out["decoded"] = True
-                    out["kind"] = d["kind"]
-                    if d["kind"] == "image":
-                        px = d["pixels"]
-                        out["height"], out["width"] = int(px.shape[0]), int(px.shape[1])
-                        out["mean_rgb"] = [float(x) for x in px.mean(axis=(0, 1))]
-                        out["thumb64"] = resize_image(px, tw, th).tobytes()
-                    else:
-                        s, sr = d["samples"], d["sample_rate"]
-                        out["sample_rate"] = int(sr)
-                        out["duration_ms"] = int(1000 * len(s) / sr) if sr else 0
-                        out["rms"] = float(np.sqrt((s ** 2).mean())) if len(s) else 0.0
-                except NotImplementedError as e:
-                    out["decode_error"] = str(e)
-                rows.append(out)
+            rows = [
+                decoded_features_row(mid, mime, content, thumb)
+                for mid, mime, content in zip(
+                    b["media_id"], b["mime"], b["content"]
+                )
+            ]
             yield pd.DataFrame(rows, columns=[f.name for f in DECODED_FEATURES.fields])
 
     return media.mapInPandas(run, schema=DECODED_FEATURES)
@@ -283,6 +294,46 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
     )
 
 
+def synthetic_media_row(i: int) -> dict:
+    """Pure per-id synthetic media row — shared by the Spark generator and
+    the oracle generator (tools/gen_media_oracle.py)."""
+    import io
+    import wave
+
+    i = int(i)
+    rng = np.random.default_rng(seed=i)
+    kind = ["image", "audio", "video", "image"][i % 4]
+    mime = ["image/bmp", "audio/wav", "video/mp4", "image/png"][i % 4]
+    w = h = dur = None
+    if mime == "image/bmp":
+        w, h = 16 + (i % 8) * 4, 12 + (i % 6) * 4
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        content = _encode_bmp(px)
+    elif mime == "audio/wav":
+        sr, n_s = 8000, 800 + (i % 10) * 80
+        dur = int(1000 * n_s / sr)
+        samples = (
+            (np.sin(np.arange(n_s) * (0.01 + 0.001 * (i % 7))) * 12000)
+            .astype("<i2")
+        )
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(sr)
+            wf.writeframes(samples.tobytes())
+        content = buf.getvalue()
+    else:
+        size = 1024 + (i * 977) % 8192
+        content = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+        if kind == "video":
+            dur = 1000 + (i % 60) * 500
+    return {
+        "media_id": i, "kind": kind, "content": content,
+        "mime": mime, "width": w, "height": h, "duration_ms": dur,
+    }
+
+
 def synthetic_media(spark, n: int, partitions: int | None = None) -> DataFrame:
     """Deterministic media table: REAL decodable payloads where the
     container needs no codec (image/bmp, audio/wav) interleaved with
@@ -290,48 +341,8 @@ def synthetic_media(spark, n: int, partitions: int | None = None) -> DataFrame:
     so both the decode path and the stub path are exercised."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         for b in batches:
-            rows = []
-            for i in b["id"]:
-                i = int(i)
-                rng = np.random.default_rng(seed=i)
-                kind = ["image", "audio", "video", "image"][i % 4]
-                mime = ["image/bmp", "audio/wav", "video/mp4", "image/png"][i % 4]
-                w = h = dur = None
-                if mime == "image/bmp":
-                    w, h = 16 + (i % 8) * 4, 12 + (i % 6) * 4
-                    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-                    content = _encode_bmp(px)
-                elif mime == "audio/wav":
-                    sr, n_s = 8000, 800 + (i % 10) * 80
-                    dur = int(1000 * n_s / sr)
-                    samples = (
-                        (np.sin(np.arange(n_s) * (0.01 + 0.001 * (i % 7))) * 12000)
-                        .astype("<i2")
-                    )
-                    buf = io.BytesIO()
-                    with wave.open(buf, "wb") as wf:
-                        wf.setnchannels(1)
-                        wf.setsampwidth(2)
-                        wf.setframerate(sr)
-                        wf.writeframes(samples.tobytes())
-                    content = buf.getvalue()
-                else:
-                    size = 1024 + (i * 977) % 8192
-                    content = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
-                    if kind == "video":
-                        dur = 1000 + (i % 60) * 500
-                rows.append(
-                    {
-                        "media_id": i, "kind": kind, "content": content,
-                        "mime": mime, "width": w, "height": h,
-                        "duration_ms": dur,
-                    }
-                )
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame([synthetic_media_row(i) for i in b["id"]])
 
     rng_df = spark.range(n)
     if partitions:
