@@ -109,6 +109,9 @@ def main() -> None:
         bloom_enabled=True,
         bloom_shards=16,
         debug_timing=os.environ.get("SPARK_GRAFT_DEBUG_TIMING", "") == "1",
+        state_compression=os.environ.get(
+            "SPARK_GRAFT_STATE_COMPRESSION", "snappy"
+        ),
     )
     eng = CrawlEngine(
         spark, cfg, SyntheticFetcher(pages_df), os.path.join(state_root, "state")
