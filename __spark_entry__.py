@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from media_oracle import MEDIA_SQL as _MEDIA_SQL
 
 from jcrawler_spark import corpus
-from jcrawler_spark.functions import generators, textops, urlops
+from jcrawler_spark.functions import generators, htmlnorm, textops, urlops
 from jcrawler_spark.operators import accept as accept_ops
 from jcrawler_spark.operators import dedup, extract, graph, multimodal, similarity
 
@@ -1043,6 +1043,35 @@ FROM documents
 """
 
 
+def q_normalize_html(spark, sf_dir):
+    """JScraper normalize analogue (JScraper.java:101-126) over synthetic
+    crawled pages: canonical-form sha256 per url. The oracle pins the exact
+    digests a pure-Python run of the same normalize_html produces
+    (corpus.local_pages and the UDF share one code path), so the contract
+    verifies the Arrow UDF plumbing byte-for-byte."""
+    pages = corpus.build_pages_df(spark, 60, n_hosts=8)
+    return pages.select(
+        "url",
+        F.sha2(htmlnorm.normalize_html_col("html"), 256).alias("norm_sha"),
+    )
+
+
+def _normalize_html_oracle_sql() -> str:
+    import hashlib
+
+    rows = []
+    for rec in corpus.local_pages(60, 8):
+        norm = htmlnorm.normalize_html(rec["html"].decode("utf-8"))
+        sha = hashlib.sha256(norm.encode("utf-8")).hexdigest()
+        url = rec["url"].replace("'", "''")
+        rows.append(f"  ('{url}', '{sha}')")
+    return (
+        "SELECT url, norm_sha FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(url, norm_sha)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible) ops
 # ---------------------------------------------------------------------------
@@ -1291,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "normalize_html": q_normalize_html,
         "crawl_wave": q_crawl_wave,
         "crawl_emission": q_crawl_emission,
         "media_features": q_media_features,
@@ -1329,6 +1359,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SQL,
         "token_count": _TOKEN_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
+        "normalize_html": _normalize_html_oracle_sql(),
         "crawl_wave": _CRAWL_WAVE_SQL,
         "crawl_emission": _CRAWL_EMISSION_SQL,
         "media_features": _MEDIA_SQL,

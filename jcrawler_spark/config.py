@@ -89,12 +89,15 @@ class CrawlConfig:
     # fold the frontier add/consume delta log into one base every K
     # supersteps (bounds the pending view's plan depth); None = never
     frontier_compact_every: int | None = 8
-    # keep pages/frontier_add state bucketed by url_hash into this many
-    # buckets (Iceberg bucket-transform analogue): the per-superstep
-    # seen/pending anti-joins then shuffle ONLY the wave side — the
-    # accumulated crawl state is scanned but never re-shuffled. None =
-    # legacy plain parquet deltas (state shuffles per superstep; only for
-    # comparison). 32 matches local[32]; size to cluster cores in prod.
+    # keep the KEY state tables (seen_index, frontier_add) bucketed by
+    # url_hash into this many buckets (Iceberg bucket-transform analogue):
+    # the per-superstep seen/pending anti-joins then shuffle ONLY the wave
+    # side — the accumulated crawl state is scanned but never re-shuffled.
+    # The payload-bearing pages deltas stay plain appends (bucketing them
+    # would shuffle+sort the links payload every superstep for joins that
+    # only read keys). None = plain deltas everywhere (state shuffles per
+    # superstep; comparison only). 32 matches local[32]; size to cluster
+    # cores in prod.
     state_buckets: int | None = 32
     # parquet codec for state deltas (write phase is disk-bound; lz4 trades
     # a little size for cheaper encode than snappy — BENCH/BASELINE.md)

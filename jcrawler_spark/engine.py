@@ -184,12 +184,20 @@ class CrawlEngine:
         self._clock = clock if clock is not None else time.monotonic
         self._sleep = sleep if sleep is not None else time.sleep
         self._last_step_start: float | None = None
+        # bucket the KEY tables only: the per-superstep anti-joins touch
+        # (url_hash, superstep), so the slim seen_index and the frontier
+        # deltas are kept bucketed (no state reshuffle on join) while the
+        # payload-bearing pages deltas (links arrays) stay plain appends —
+        # bucketing them would shuffle+sort the whole payload every
+        # superstep for joins that never read it.
         nb = config.state_buckets
         self.store = SnapshotStore(
             state_root,
             spark,
             bucketed=(
-                {"pages": nb, "frontier_add": nb} if nb is not None else None
+                {"seen_index": nb, "frontier_add": nb}
+                if nb is not None
+                else None
             ),
             compression=config.state_compression,
         )
@@ -784,7 +792,14 @@ class CrawlEngine:
         # ---- atomic commit ----
         if err_n > 0:
             self._any_host_errors = True
-        appends = {"pages": pages_delta, "lineage": lineage}
+        appends = {
+            "pages": pages_delta,
+            # slim key projection of the same delta — the bucketed seen set
+            # the next supersteps anti-join against (and the consumption
+            # log the pending view composes with)
+            "seen_index": pages_delta.select("url_hash", "superstep"),
+            "lineage": lineage,
+        }
         replaces = {}
         if compact:
             replaces["frontier_add"] = compacted
@@ -840,18 +855,18 @@ class CrawlEngine:
         add whose hash was consumed at-or-after its add superstep (so a
         requeue of a previously consumed hash — a LATER add — survives).
 
-        The consumed set is NOT a separate table: every popped URL already
-        lands in the pages delta of its superstep, so consumption is the
-        (url_hash, superstep) projection of the pages deltas SINCE the
-        last compaction (older consumption is folded into the compacted
-        base — an add surviving compaction provably has no pages row at or
-        after its add superstep). One table fewer to write per superstep;
-        the incremental read touches only the recent delta files."""
+        The consumed set is the slim bucketed seen_index — the (url_hash,
+        superstep) projection of every popped URL's pages row, written in
+        the same superstep (older consumption is folded into the compacted
+        base — an add surviving compaction provably has no seen_index row
+        at or after its add superstep). Both sides of this anti-join are
+        bucketed on url_hash, so the compose is shuffle-free; the
+        incremental read touches only files at or after the floor."""
         adds = self.store.read("frontier_add")
         if adds is None:
             return None
         consumed = self.store.read(
-            "pages", min_superstep=self._last_compact + 1
+            "seen_index", min_superstep=self._last_compact + 1
         )
         if consumed is None:
             return adds
@@ -867,8 +882,11 @@ class CrawlEngine:
         )
 
     def _seen_hashes(self) -> DataFrame | None:
-        """The visited-set hashes = every wave-result row ever committed."""
-        df = self.store.read("pages")
+        """The visited-set hashes = every wave-result row ever committed —
+        read from the bucketed slim seen_index (url_hash, superstep), so
+        the anti-join scan never touches the pages payload and never
+        re-shuffles the accumulated state."""
+        df = self.store.read("seen_index")
         return None if df is None else df.select("url_hash")
 
     def requeue_expired(self, max_age_supersteps: int | None = None) -> int:

@@ -41,7 +41,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 APPEND_TABLES = (
-    "pages", "lineage", "ignored_domains", "frontier_add", "frontier_consumed",
+    "pages", "seen_index", "lineage", "ignored_domains", "frontier_add",
+    "frontier_consumed",
 )
 SNAP_TABLES = ("host_state", "frontier")
 

@@ -119,15 +119,17 @@ def main() -> None:
 
     # crawl-state anti-joins vs the bucketed snapshot store (VERDICT r2 #1):
     # the per-superstep seen gate (engine._seen_hashes left_anti) and the
-    # pending compose (frontier_add ∖ consumed pages) must NEVER re-shuffle
-    # the accumulated state — only the wave side may exchange. The store
-    # keeps pages/frontier_add as CLUSTERED BY (url_hash) catalog tables, so
-    # their scans carry HashPartitioning(url_hash, nb).
+    # pending compose (frontier_add ∖ consumed seen_index) must NEVER
+    # re-shuffle the accumulated state — only the wave side may exchange.
+    # The store keeps the slim KEY tables (seen_index, frontier_add) as
+    # CLUSTERED BY (url_hash) catalog tables, so their scans carry
+    # HashPartitioning(url_hash, nb); the payload-bearing pages deltas are
+    # plain appends that no per-superstep join ever scans.
     from jcrawler_spark.plans.tableio import SnapshotStore
 
     nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sroot = tempfile.mkdtemp(prefix="plans-state-")
-    store = SnapshotStore(sroot, spark, bucketed={"pages": nb, "frontier_add": nb})
+    store = SnapshotStore(sroot, spark, bucketed={"seen_index": nb, "frontier_add": nb})
 
     def fake_state(s, tag, n):
         return spark.range(n).select(
@@ -140,7 +142,7 @@ def main() -> None:
     for s in (1, 2):
         store.stage_all(
             s,
-            {"pages": fake_state(s, "p", 4000), "frontier_add": fake_state(s, "f", 4000)},
+            {"seen_index": fake_state(s, "p", 4000), "frontier_add": fake_state(s, "f", 4000)},
             {},
         )
         store.commit(s, {})
@@ -185,12 +187,12 @@ def main() -> None:
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
 
-    seen = store.read("pages").select("url_hash")
-    audit_anti("seen anti-join vs bucketed pages", wave.join(seen, "url_hash", "left_anti"), 1)
+    seen = store.read("seen_index").select("url_hash")
+    audit_anti("seen anti-join vs bucketed seen_index", wave.join(seen, "url_hash", "left_anti"), 1)
 
     # the pending compose: BOTH sides bucketed on url_hash → zero Exchange
     adds = store.read("frontier_add")
-    consumed = store.read("pages").select(
+    consumed = store.read("seen_index").select(
         F.col("url_hash").alias("c_hash"), F.col("superstep").alias("c_superstep")
     )
     pending = adds.join(
@@ -202,7 +204,7 @@ def main() -> None:
     audit_anti("pending compose (adds ∖ consumed), both bucketed", pending, 0)
 
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
-    for t in ("pages", "frontier_add"):
+    for t in ("seen_index", "frontier_add"):
         spark.sql(f"DROP TABLE IF EXISTS {store._catalog_name(t)}")
 
     with open("/root/repo/PLANS.md", "w") as f:

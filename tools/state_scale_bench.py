@@ -2,10 +2,11 @@
 
 One big-wave superstep against K accumulated seen rows (default 10^7 —
 ~12x the wave, the 'state >> wave' regime a long crawl lives in), with
-per-phase timings, at a chosen parallelism. The injected state rows are
-committed pages deltas in the engine's own bucketed store, so the
-per-superstep seen/pending anti-joins scan 10^7 bucketed state rows while
-shuffling only the wave side (the plan explain_audit.py asserts).
+per-phase timings, at a chosen parallelism. The injected rows are
+committed seen_index deltas in the engine's own bucketed store — the slim
+key table the per-superstep seen anti-join and pending compose actually
+scan — so the superstep scans 10^7 bucketed state rows while shuffling
+only the wave side (the plan explain_audit.py asserts).
 
 Run once per parallelism level on the SAME corpus dir:
 
@@ -33,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from jcrawler_spark import corpus, schemas  # noqa: E402
+from jcrawler_spark import corpus  # noqa: E402
 from jcrawler_spark.config import CrawlConfig  # noqa: E402
 from jcrawler_spark.engine import CrawlEngine, SyntheticFetcher  # noqa: E402
 from jcrawler_spark.session import get_spark  # noqa: E402
@@ -91,32 +92,18 @@ def main() -> None:
     eng.accept_set = ["https://host", "http://host"]
 
     # ---- inject K_SEEN committed seen rows (superstep 1) ----
-    # hash-disjoint from the corpus (seen.example namespace), full pages
-    # delta schema so the engine's next write appends to the same bucketed
-    # table; this is exactly the state a crawl that already visited K URLs
-    # carries into its next superstep.
+    # hash-disjoint from the corpus; the slim bucketed seen_index is the
+    # table every superstep's seen anti-join and pending compose actually
+    # scan — exactly the state a crawl that already visited K URLs carries
+    # into its next superstep.
     t_inj = time.monotonic()
     inj = spark.range(K_SEEN).select(
-        F.concat(F.lit("https://seen.example/x/"), F.col("id")).alias("url"),
         F.sha2(
             F.concat(F.lit("seen:"), F.col("id").cast("string")), 256
         ).alias("url_hash"),
-        F.lit("seen.example").alias("host"),
-        F.lit(1).cast("int").alias("depth"),
-        F.lit(False).alias("is_resource"),
-        F.lit(False).alias("is_redirect"),
-        F.lit(None).cast("string").alias("src_url"),
-        F.col("id").cast("long").alias("order_key"),
-        F.format_string("%08x", F.col("id")).alias("path_key"),
-        F.lit(200).cast("int").alias("status"),
-        F.lit("text/html").alias("content_type"),
-        F.lit(None).cast("string").alias("location"),
-        F.lit(None).cast("string").alias("error"),
-        F.lit(None).cast(schemas.LINKS_ARRAY).alias("links"),
-        F.lit(False).alias("skipped"),
         F.lit(1).alias("superstep"),
     )
-    eng.store.stage_append("pages", inj, 1)
+    eng.store.stage_append("seen_index", inj, 1)
     eng.store.commit(1, eng._counters())
     eng.superstep = 1
     inject_s = round(time.monotonic() - t_inj, 2)
