@@ -68,11 +68,20 @@ class SnapshotStore:
         bucketed: dict[str, int] | None = None,
         bucket_key: str = "url_hash",
         compression: str = "snappy",
+        bucketed_scan_min_bytes: int = 64 << 20,
     ):
         self.root = os.path.abspath(root)
         self.spark = spark
         self.bucket_key = bucket_key
         self.compression = compression
+        # below this on-disk size, read() serves a bucketed table as a
+        # PLAIN parquet read of the same files: Spark then sees true file
+        # sizes and broadcasts the state side of joins (instant at small
+        # state), instead of paying the catalog/SMJ machinery whose payoff
+        # — never re-shuffling the state — only exists once the state is
+        # too big to broadcast. Writes are always bucket-valid, so the
+        # crossover needs no rewrite: the read path just switches.
+        self.bucketed_scan_min_bytes = bucketed_scan_min_bytes
         os.makedirs(os.path.join(root, "checkpoints"), exist_ok=True)
         self._staged: dict[str, list[str]] = {}
         self._staged_replace: set[str] = set()
@@ -354,14 +363,24 @@ class SnapshotStore:
             self._bucketed[table] = {
                 k: bm[k] for k in ("nb", "ddl", "cols", "floor")
             }
-        if s == self.last_superstep():
+        on_disk = 0
+        for r in bm["files"]:
+            try:
+                on_disk += os.path.getsize(os.path.join(self.root, r))
+            except OSError:
+                pass
+        if (
+            s == self.last_superstep()
+            and on_disk >= self.bucketed_scan_min_bytes
+        ):
             # bucketed catalog scan: outputPartitioning =
             # HashPartitioning(url_hash, nb) — joins against it shuffle only
             # the other side. The superstep filters are file-stats prunes.
             name = self._register_bucketed(table)
             df = self.spark.table(name).where(F.col("superstep") <= F.lit(s))
         else:
-            # time travel: exact committed file list, plain parquet read
+            # small state (broadcast beats bucket co-location) or time
+            # travel: exact committed file list, plain parquet read
             # (bucketing metadata is lost, correctness is not)
             df = self.spark.read.parquet(
                 *[os.path.join(self.root, r) for r in bm["files"]]

@@ -129,7 +129,10 @@ def main() -> None:
 
     nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
     sroot = tempfile.mkdtemp(prefix="plans-state-")
-    store = SnapshotStore(sroot, spark, bucketed={"seen_index": nb, "frontier_add": nb})
+    store = SnapshotStore(
+        sroot, spark, bucketed={"seen_index": nb, "frontier_add": nb},
+        bucketed_scan_min_bytes=0,  # force the at-scale catalog path at toy size
+    )
 
     def fake_state(s, tag, n):
         return spark.range(n).select(
