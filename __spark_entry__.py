@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from media_oracle import MEDIA_SQL as _MEDIA_SQL
 
 from jcrawler_spark import corpus
-from jcrawler_spark.functions import generators, htmlnorm, textops, urlops
+from jcrawler_spark.functions import generators, htmlnorm, pagediff, textops, urlops
 from jcrawler_spark.operators import accept as accept_ops
 from jcrawler_spark.operators import dedup, extract, graph, multimodal, similarity
 
@@ -1072,6 +1072,47 @@ def _normalize_html_oracle_sql() -> str:
     )
 
 
+def q_page_diff(spark, sf_dir):
+    """Mirror/recrawl page diff (JScraper.java:45-57 workflow): normalize
+    both crawls of each URL, line-diff, report change counts + the patch
+    digest. The oracle pins the exact counts and patch sha256 a pure-Python
+    run of the same page_diff produces (corpus.recrawl_html and the Arrow
+    UDF share one code path). Cosmetic-only variants (i%3==0) MUST land at
+    (0, 0, sha256(""))."""
+    pairs = corpus.build_recrawl_df(spark, 60, n_hosts=8)
+    return (
+        pairs.withColumn(
+            "__d", pagediff.page_diff_col("old_html", "new_html")
+        )
+        .select(
+            "url",
+            F.col("__d.n_insertions").alias("n_insertions"),
+            F.col("__d.n_deletions").alias("n_deletions"),
+            F.sha2(F.col("__d.patch"), 256).alias("patch_sha"),
+        )
+    )
+
+
+def _page_diff_oracle_sql() -> str:
+    import hashlib
+
+    rows = []
+    for i in range(60):
+        rec = corpus.page_record(i, 60, 8)
+        old = rec["html"].decode("utf-8")
+        new = corpus.recrawl_html(i, 60, 8)
+        n_ins, n_del, patch = pagediff.page_diff(old, new)
+        sha = hashlib.sha256(patch.encode("utf-8")).hexdigest()
+        url = rec["url"].replace("'", "''")
+        rows.append(f"  ('{url}', {n_ins}, {n_del}, '{sha}')")
+    return (
+        "SELECT url, CAST(n_insertions AS INT) AS n_insertions, "
+        "CAST(n_deletions AS INT) AS n_deletions, patch_sha FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(url, n_insertions, n_deletions, patch_sha)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only (non-SQL-expressible) ops
 # ---------------------------------------------------------------------------
@@ -1321,6 +1362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
         "normalize_html": q_normalize_html,
+        "page_diff": q_page_diff,
         "crawl_wave": q_crawl_wave,
         "crawl_emission": q_crawl_emission,
         "media_features": q_media_features,
@@ -1360,6 +1402,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": _TOKEN_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
         "normalize_html": _normalize_html_oracle_sql(),
+        "page_diff": _page_diff_oracle_sql(),
         "crawl_wave": _CRAWL_WAVE_SQL,
         "crawl_emission": _CRAWL_EMISSION_SQL,
         "media_features": _MEDIA_SQL,

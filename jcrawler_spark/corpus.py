@@ -177,6 +177,61 @@ def local_pages(n_pages: int, n_hosts: int = 8) -> list[dict]:
     return [page_record(i, n_pages, n_hosts) for i in range(n_pages)]
 
 
+def recrawl_html(i: int, n_pages: int, n_hosts: int = 8) -> str:
+    """Deterministic "second crawl" of page i — the mirror/recrawl variant
+    the page-diff workflow audits. Pure (shared by the Spark generator and
+    the DuckDB VALUES oracle). Three deterministic families:
+
+      i%3==0  cosmetic-only mirror noise (tag case, whitespace) — MUST
+              diff to zero after normalize_html;
+      i%3==1  content insertion (a new paragraph before </body>);
+      i%3==2  content modification ("Page" → "Pagina" in title/h1/body).
+
+    Non-200 pages (Moved/Not found bodies) simply don't contain the
+    mutation anchors, so their variants stay cosmetic — still
+    deterministic, still pinned by the oracle."""
+    html = page_record(i, n_pages, n_hosts)["html"].decode("utf-8")
+    k = i % 3
+    if k == 0:
+        return html.replace("<html>", "<HTML >").replace(
+            "<body>", "<BODY >"
+        ).replace("</p>", " </P>")
+    if k == 1:
+        return html.replace("</body>", f"<p>revision note {i}</p>\n</body>")
+    return html.replace("Page ", "Pagina ")
+
+
+def build_recrawl_df(
+    spark: SparkSession,
+    n_pages: int,
+    n_hosts: int = 8,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(url, old_html, new_html) pairs for the page-diff contract query —
+    distributed the same way as build_pages_df (no driver loop)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = []
+            for i in (int(x) for x in b["id"]):
+                rec = page_record(i, n_pages, n_hosts)
+                rows.append(
+                    {
+                        "url": rec["url"],
+                        "old_html": rec["html"].decode("utf-8"),
+                        "new_html": recrawl_html(i, n_pages, n_hosts),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    rng = spark.range(n_pages)
+    if partitions:
+        rng = rng.repartition(partitions)
+    return rng.mapInPandas(
+        gen, schema="url string, old_html string, new_html string"
+    )
+
+
 def build_pages_df(
     spark: SparkSession,
     n_pages: int,

@@ -305,6 +305,20 @@ class CrawlEngine:
         # a crashed half-written superstep leaves orphan files in the
         # bucketed state dirs; they'd alias the retried superstep's rows
         self.store.sync_bucketed()
+        # Legacy state root (committed before the slim seen_index table
+        # existed): the visited set would read as EMPTY and every stored
+        # page would be re-crawled and re-emitted silently. Backfill the
+        # (url_hash, superstep) projection from the pages table — exactly
+        # the rows step() would have written — and re-commit the manifest.
+        if self.store.read("seen_index") is None:
+            pages = self.store.read("pages")
+            if pages is not None:
+                self.store.stage_append(
+                    "seen_index",
+                    pages.select("url_hash", "superstep"),
+                    last,
+                )
+                self.store.commit(last, counters=self.store.counters(last))
         c = self.store.counters(last)
         self.superstep = last
         self.emitted_count = c["emitted_count"]

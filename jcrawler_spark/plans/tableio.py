@@ -93,11 +93,23 @@ class SnapshotStore:
         }
         last = self.last_superstep()
         if last is not None:
+            m = self._manifest(last)
             # committed spec is authoritative (readers self-configure)
-            for t, spec in self._manifest(last).get("bucketed", {}).items():
+            for t, spec in m.get("bucketed", {}).items():
                 self._bucketed[t] = {
                     k: spec[k] for k in ("nb", "ddl", "cols", "floor")
                 }
+            # A table this store wants bucketed but whose manifest still
+            # carries PLAIN append files (written by an earlier store with
+            # bucketing off, or mixed during such a transition) would have
+            # those rows silently shadowed after the first bucketed commit
+            # (read() prefers the bucketed entry). Migrate them into the
+            # bucketed table now, once, and re-commit the manifest.
+            legacy = [
+                t for t in self._bucketed if m["appends"].get(t)
+            ]
+            if legacy:
+                self._migrate_plain_to_bucketed(legacy, last, m)
         elif self._bucketed:
             # fresh store on a possibly-reused root: drop stale catalog
             # entries and data dirs so old files can't shadow the new crawl
@@ -170,6 +182,21 @@ class SnapshotStore:
             self._staged_bucketed.setdefault(table, []).append(
                 (superstep, new, replace)
             )
+
+    def _migrate_plain_to_bucketed(
+        self, tables: list[str], last: int, manifest: dict
+    ) -> None:
+        """One-time upgrade: rewrite a table's plain delta files into its
+        bucketed form and re-commit the latest manifest without the plain
+        entries (their files become vacuum-able orphans). Rows keep their
+        own ``superstep`` values — snapshot filters stay correct."""
+        for t in tables:
+            rels = manifest["appends"][t]
+            df = self.spark.read.parquet(
+                *[os.path.join(self.root, r) for r in rels]
+            )
+            self._stage_append_bucketed(t, df, last, replace=False)
+        self.commit(last, counters=manifest.get("counters") or None)
 
     # ---- commit log ----
 
@@ -281,6 +308,10 @@ class SnapshotStore:
             else:
                 base.setdefault(t, []).extend(rels)
         for t, entries in self._staged_bucketed.items():
+            # a bucketed table never also serves plain delta files; any such
+            # entry is pre-migration legacy whose rows were just rewritten
+            # by _migrate_plain_to_bucketed — drop it (files → orphans)
+            base.pop(t, None)
             spec = self._bucketed[t]
             cur = bucketed_m.get(
                 t,
@@ -430,10 +461,20 @@ class SnapshotStore:
 
     def rollback_to(self, superstep: int) -> None:
         """Drop commit markers newer than `superstep` (data files become
-        orphans, reclaimed by vacuum) — Iceberg rollback-to-snapshot."""
+        orphans, reclaimed by vacuum) — Iceberg rollback-to-snapshot.
+        Bucketed orphans are removed HERE, not lazily: a retried superstep
+        re-appends rows with the same ``superstep`` value, and the catalog
+        scan lists whatever files are in the directory — rolled-back files
+        left behind would resurface as visible duplicates."""
         for s in self.committed_supersteps():
             if s > superstep:
                 os.remove(self._ckpt_path(s))
+        # restore the in-memory floor to the rolled-back-to manifest's
+        if os.path.exists(self._ckpt_path(superstep)):
+            for t, spec in self._manifest(superstep).get("bucketed", {}).items():
+                if t in self._bucketed:
+                    self._bucketed[t]["floor"] = spec.get("floor", 0)
+        self.sync_bucketed()
 
     def vacuum(self) -> int:
         """Delete data files not referenced by any committed manifest."""

@@ -132,6 +132,46 @@ def test_checkpoint_resume_equivalence(spark, pages_df, tmp_path):
     assert eng_b2.emitted_urls() == eng_a.emitted_urls()
 
 
+def test_resume_backfills_legacy_seen_index(spark, pages_df, tmp_path):
+    """A state root committed BEFORE the slim seen_index table existed must
+    not resume with an empty visited set (ADVICE r3): resume() backfills
+    the (url_hash, superstep) projection from pages, so the continued
+    crawl stays exactly-once and matches an uninterrupted run."""
+    import glob
+    import json
+    import os
+
+    cfg = CrawlConfig(accept=ACCEPTS, max_docs=500, max_connections=None)
+    root = str(tmp_path / "legacy")
+    eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages_df), root)
+    eng.seed(_seeds())
+    for _ in range(2):
+        eng.step()
+    emitted_before = set(eng.emitted_urls())
+    assert emitted_before  # the partial crawl did emit something
+
+    # forge the pre-seen_index on-disk format: strip the table from every
+    # committed manifest and drop its data dir
+    for path in glob.glob(os.path.join(root, "checkpoints", "ckpt-*.json")):
+        with open(path) as f:
+            m = json.load(f)
+        m["appends"].pop("seen_index", None)
+        m.get("bucketed", {}).pop("seen_index", None)
+        with open(path, "w") as f:
+            json.dump(m, f)
+    shutil.rmtree(os.path.join(root, "seen_index"), ignore_errors=True)
+
+    eng2 = CrawlEngine(spark, cfg, SyntheticFetcher(pages_df), root)
+    eng2.run(seeds=None, max_supersteps=40)
+    emitted = eng2.emitted_urls()
+    assert len(emitted) == len(set(emitted))  # no re-emission of old URLs
+
+    fresh_root = str(tmp_path / "fresh")
+    fresh = CrawlEngine(spark, cfg, SyntheticFetcher(pages_df), fresh_root)
+    fresh.run(seeds=_seeds(), max_supersteps=40)
+    assert set(emitted) == set(fresh.emitted_urls())
+
+
 def _dfs_preorder_oracle(pages_by_url, seed, accept_set, max_docs, max_depth=100):
     emitted: list[str] = []
     seen: set[str] = set()

@@ -88,6 +88,30 @@ def test_head_content_routed_to_head():
     assert "<body>\n    <p>x</p>\n  </body>" in out
 
 
+def test_headless_body_keeps_head_siblings():
+    # body present, head absent: stray <title> must be rehomed into the
+    # synthesized head, not dropped — two pages differing only in title
+    # must NOT normalize to identical bytes.
+    a = normalize_html("<html><title>T</title><body>x</body></html>")
+    assert a == (
+        "<html>\n  <head>\n    <title>T</title>\n  </head>\n"
+        "  <body>x</body>\n</html>\n"
+    )
+    b = normalize_html("<html><title>U</title><body>x</body></html>")
+    assert a != b
+
+
+def test_bodyless_head_keeps_content_siblings():
+    # head present, body absent: content siblings go to the synthesized
+    # body; a stray head-only element joins the existing head.
+    out = normalize_html(
+        "<html><head><meta charset=\"utf-8\"></head><title>T</title><p>x</p></html>"
+    )
+    assert '<meta charset="utf-8" />' in out
+    assert "<title>T</title>" in out
+    assert "<body>\n    <p>x</p>\n  </body>" in out
+
+
 def test_raw_text_preserved_verbatim():
     raw = "<body><script>if (a &&  b) { x<y; }</script><pre>  two\n spaces</pre></body>"
     out = normalize_html(raw)

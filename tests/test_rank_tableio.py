@@ -118,3 +118,56 @@ def test_stage_append_replace_compacts(spark, tmp_path):
     removed = store.vacuum()
     assert removed == 0
     assert sorted(r["id"] for r in store.read("pages", as_of=2).collect()) == [1, 2]
+
+
+def test_plain_to_bucketed_migration(spark, tmp_path):
+    """Reopening a store written with bucketing OFF using bucketing ON must
+    migrate the plain delta rows into the bucketed table (ADVICE r3):
+    before the fix, the first bucketed commit silently shadowed every
+    prior plain row at read time."""
+    root = str(tmp_path / "mig")
+    plain = SnapshotStore(root, spark)
+    df1 = spark.createDataFrame(
+        [(f"h{i}", 1) for i in range(10)], ["url_hash", "superstep"]
+    )
+    plain.stage_append("seen_index", df1, 1)
+    plain.commit(1, {"n": 1})
+
+    b = SnapshotStore(root, spark, bucketed={"seen_index": 4})
+    got = {r["url_hash"] for r in b.read("seen_index").collect()}
+    assert got == {f"h{i}" for i in range(10)}
+    # counters survive the migration re-commit
+    assert b.counters() == {"n": 1}
+    # a subsequent bucketed commit keeps the migrated rows visible
+    df2 = spark.createDataFrame([("h10", 2)], ["url_hash", "superstep"])
+    b.stage_append("seen_index", df2, 2)
+    b.commit(2, {"n": 2})
+    got2 = {r["url_hash"] for r in b.read("seen_index").collect()}
+    assert got2 == {f"h{i}" for i in range(11)}
+    # the manifest no longer lists plain files for the table; the plain
+    # delta files became vacuum-able orphans and vacuum is row-preserving
+    m = b._manifest(2)
+    assert not m["appends"].get("seen_index")
+    b.vacuum()
+    assert {r["url_hash"] for r in b.read("seen_index").collect()} == got2
+
+
+def test_rollback_removes_bucketed_orphans(spark, tmp_path):
+    """rollback_to must reclaim bucketed data files of rolled-back
+    supersteps immediately (ADVICE r3): a retried superstep re-appends
+    rows with the same superstep value, so leftover files would alias
+    them as visible duplicates."""
+    root = str(tmp_path / "rb")
+    st = SnapshotStore(root, spark, bucketed={"seen_index": 4})
+    row = lambda h, s: spark.createDataFrame([(h, s)], ["url_hash", "superstep"])
+    st.stage_append("seen_index", row("a", 1), 1)
+    st.commit(1, {})
+    st.stage_append("seen_index", row("b", 2), 2)
+    st.commit(2, {})
+    st.rollback_to(1)
+    assert [r["url_hash"] for r in st.read("seen_index").collect()] == ["a"]
+    # retry superstep 2 with different content: no resurrected "b"
+    st.stage_append("seen_index", row("b2", 2), 2)
+    st.commit(2, {})
+    rows = sorted(r["url_hash"] for r in st.read("seen_index").collect())
+    assert rows == ["a", "b2"]

@@ -206,6 +206,72 @@ def main() -> None:
     )
     audit_anti("pending compose (adds ∖ consumed), both bucketed", pending, 0)
 
+    # CachedFetcher cache-hit join (VERDICT r3 #3): the deduped cache
+    # projection is persisted ONCE at construction, so the per-superstep
+    # join must (a) never re-execute the dedup Window, (b) shuffle only
+    # the wave side — the InMemoryRelation (built with AQE off) keeps
+    # hashpartitioning(url). Lines inside the InMemoryRelation subtree are
+    # the one-time population plan, not per-superstep work — strip them.
+    from jcrawler_spark import schemas
+    from jcrawler_spark.operators.fetch import CachedFetcher
+
+    def strip_cached_subtrees(plan: str) -> str:
+        kept, skip_indent = [], None
+        for ln in plan.splitlines():
+            indent = len(ln) - len(ln.lstrip(" :+-"))
+            if skip_indent is not None:
+                if indent > skip_indent:
+                    continue
+                skip_indent = None
+            if "InMemoryRelation" in ln:
+                skip_indent = indent
+            kept.append(ln)
+        return "\n".join(kept)
+
+    cache_pages = corpus.build_pages_df(spark, 2000, 8).select(
+        "url",
+        F.lit(1).alias("superstep"),
+        F.lit(False).alias("skipped"),
+        F.lit(None).cast("string").alias("error"),
+        F.lit(200).alias("status"),
+        F.lit(None).cast("string").alias("location"),
+        F.lit("text/html").alias("content_type"),
+        F.lit(None).cast(schemas.LINKS_ARRAY).alias("links"),
+    )
+    cf = CachedFetcher(cache_pages, inner=None)
+    cwave = spark.range(300).select(
+        F.concat(F.lit("https://hostx/p/"), F.col("id")).alias("url"),
+        F.lit("hostx").alias("host"),
+        F.lit(0).alias("depth"),
+    )
+    cfetch_plan = (
+        cf.fetch(cwave)._jdf.queryExecution().executedPlan().toString()
+    )
+    stripped = strip_cached_subtrees(cfetch_plan)
+    n_win = len(re.findall(r"\bWindow\b", stripped))
+    n_ex = len(re.findall(r"Exchange hashpartitioning", stripped))
+    n_ims = len(re.findall(r"InMemoryTableScan", stripped))
+    lines = [
+        ln.rstrip()[:110]
+        for ln in stripped.splitlines()
+        if re.search(r"Exchange|Join|Window|InMemory", ln)
+    ]
+    out.append(
+        "## cached-fetcher join (per-superstep, cache persisted at "
+        "construction)\n\n"
+        f"Window re-executions: {n_win} (must be 0 — dedup served from the "
+        f"cache); shuffle Exchanges: {n_ex} (must be ≤2 — ONE wave-side "
+        "exchange per hit/miss leg, zero on the cache side); "
+        f"InMemoryTableScans: {n_ims}.\n\n```\n" + "\n".join(lines) + "\n```\n"
+    )
+    summary.append(
+        f"- **cached_fetcher_join**: windows={n_win} shuffle_exchanges={n_ex}"
+    )
+    assert n_win == 0, "cache dedup Window must not re-execute per superstep"
+    assert n_ex <= 2, f"cache-hit join shuffles the cache side ({n_ex} > 2)"
+    assert n_ims >= 2, "cache projection must be served from the persisted plan"
+    cf.close()
+
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
     for t in ("seen_index", "frontier_add"):
         spark.sql(f"DROP TABLE IF EXISTS {store._catalog_name(t)}")
