@@ -859,6 +859,64 @@ SELECT probe_id, neighbor_id, rank FROM (
 """
 
 
+def q_ivf_trained_topk(spark, sf_dir):
+    """IVF ANN with TRAINED centroids (VERDICT r3 #8): Spark-native Lloyd
+    k-means (similarity.train_ivf_centroids — deterministic init, rounded
+    updates) feeds the same ivf_topk plan. Self-contained deterministic
+    embeddings (corpus.embedding_record — integer-derived rationals, so
+    Spark and the pure-Python oracle produce byte-identical doubles); the
+    oracle replays training via train_ivf_centroids_local and pins the
+    search as VALUES."""
+    emb = corpus.build_embeddings_df(spark, 240, dim=8, n_clusters=6)
+    cents = similarity.train_ivf_centroids(emb, k=6, n_iters=5)
+    probes = emb.where(F.col("vec_id") < 8)
+    return similarity.ivf_topk(emb, probes, cents, k=5).select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+    )
+
+
+def _ivf_trained_oracle_sql() -> str:
+    import math
+
+    n, dim, ncl, k_cells, iters, topk = 240, 8, 6, 6, 5, 5
+    vecs = [
+        corpus.embedding_record(i, dim, ncl)["embedding"] for i in range(n)
+    ]
+    cents = similarity.train_ivf_centroids_local(vecs, k=k_cells, n_iters=iters)
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    def cell_of(v):
+        sims = [cos(v, c) for c in cents]
+        m = max(sims)
+        return min(i for i, s in enumerate(sims) if s == m)
+
+    cells = [cell_of(v) for v in vecs]
+    rows = []
+    for pid in range(8):
+        cands = [
+            (cos(vecs[pid], vecs[j]), j)
+            for j in range(n)
+            if j != pid and cells[j] == cells[pid]
+        ]
+        cands.sort(key=lambda t: (-t[0], t[1]))
+        for rank, (_, j) in enumerate(cands[:topk], start=1):
+            rows.append(f"  ({pid}, {j}, {rank})")
+    return (
+        "SELECT CAST(probe_id AS BIGINT) AS probe_id, "
+        "CAST(neighbor_id AS BIGINT) AS neighbor_id, "
+        "CAST(rank AS BIGINT) AS rank FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(probe_id, neighbor_id, rank)"
+    )
+
+
 def q_ivf_ann_topk(spark, sf_dir):
     """IVF-style ANN: cells = the 4 lowest-id embeddings standing in for
     k-means centroids (deterministic; production swaps real centroids into
@@ -1357,6 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiprobe_ann_topk": q_multiprobe_ann_topk,
         "cosine_near_dup": q_cosine_near_dup,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_trained_topk": q_ivf_trained_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
         "token_count": q_token_count,
@@ -1397,6 +1456,7 @@ def oracle_sql() -> dict[str, str]:
         "multiprobe_ann_topk": _MULTIPROBE_ANN_SQL,
         "cosine_near_dup": _COSINE_NEAR_DUP_SQL,
         "ivf_ann_topk": _IVF_ANN_SQL,
+        "ivf_trained_topk": _ivf_trained_oracle_sql(),
         "lang_id": _LANG_SQL,
         "quality_score": _QUALITY_SQL,
         "token_count": _TOKEN_SQL,

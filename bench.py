@@ -173,6 +173,18 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 2)
 
     total = round(sum(timings.values()), 2)
+    # self-describing record (BENCH protocol hygiene, VERDICT r3 #7): the
+    # exact commit + knobs this number was measured at
+    try:
+        import subprocess
+
+        sha = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or None
+    except Exception:
+        sha = None
     out = {
         "metric": "headline suite wall time (crawl engine + operators)",
         "value": total,
@@ -181,6 +193,14 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "cpus": CPUS,
         "corpus_pages": n_pages,
+        "git_sha": sha,
+        "config": {
+            "pages_per_doc": PAGES_PER_DOC,
+            "body_repeat": BODY_REPEAT,
+            "crawl_only": CRAWL_ONLY,
+            "seed_all": SEED_ALL,
+            "max_docs": os.environ.get("SPARK_GRAFT_MAX_DOCS"),
+        },
         **extras,
     }
     print(json.dumps(out))

@@ -232,6 +232,51 @@ def build_recrawl_df(
     )
 
 
+def embedding_record(i: int, dim: int = 8, n_clusters: int = 6) -> dict:
+    """One deterministic synthetic embedding — integer-derived rationals
+    only, so the Spark generator and a numpy/pure-Python oracle produce
+    BYTE-IDENTICAL doubles (no RNG, no platform-dependent transcendentals).
+    Vectors form n_clusters well-separated clusters with small jitter —
+    the shape ANN/IVF recall tests need."""
+    c = i % n_clusters
+    vec = []
+    for j in range(dim):
+        # (2c + 3j) mod 7: step-2 in c is coprime to 7, so every cluster
+        # gets a distinct per-dimension level pattern (no center collisions)
+        center = (((2 * c + 3 * j) % 7) - 3) / 3.0
+        jitter = (((i * 131071 + j * 524287) % 1000003) / 1000003.0 - 0.5) * 0.2
+        vec.append(center + jitter)
+    return {"vec_id": i, "cluster": c, "embedding": vec}
+
+
+def local_embeddings(n: int, dim: int = 8, n_clusters: int = 6) -> list[dict]:
+    return [embedding_record(i, dim, n_clusters) for i in range(n)]
+
+
+def build_embeddings_df(
+    spark: SparkSession,
+    n: int,
+    dim: int = 8,
+    n_clusters: int = 6,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Distributed synthetic-embedding build (same mapInPandas shape as
+    build_pages_df — no driver loop)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame(
+                [embedding_record(int(i), dim, n_clusters) for i in b["id"]]
+            )
+
+    rng = spark.range(n)
+    if partitions:
+        rng = rng.repartition(partitions)
+    return rng.mapInPandas(
+        gen, schema="vec_id long, cluster int, embedding array<double>"
+    )
+
+
 def build_pages_df(
     spark: SparkSession,
     n_pages: int,

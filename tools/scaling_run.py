@@ -77,6 +77,13 @@ def run_bench(cpus: int, seed_all: bool) -> dict:
 
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    if reps < 3:
+        # the protocol is min-over-3 on a ±40% host; a 1-2 rep "summary"
+        # is exactly the round-3 mistake — refuse to produce one
+        raise SystemExit(
+            "scaling_run: protocol requires reps >= 3 (got "
+            f"{reps}); run fewer reps only via run_bench() directly"
+        )
     controls: list[dict] = []
     results: dict[tuple[str, int], list[dict]] = {}
     run_bench(8, False)  # warm-up + corpus generation, discarded

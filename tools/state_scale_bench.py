@@ -45,6 +45,11 @@ WAVE = int(os.environ.get("SPARK_GRAFT_WAVE", "800000"))
 BODY_REPEAT = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "25"))
 CORPUS_DIR = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "")
 BUCKETS = 32
+# Bloom prefilter mode for the VERDICT r3 #4 comparison row:
+#   on      — engine default (broadcast below BROADCAST_BLOOM_MAX_BYTES)
+#   sharded — force the shard-join prefilter (the 10^10-frontier form)
+#   off     — no prefilter; the bucketed exact anti-join stands alone
+BLOOM_MODE = os.environ.get("SPARK_GRAFT_BLOOM", "on")
 
 
 def main() -> None:
@@ -74,11 +79,16 @@ def main() -> None:
             body_repeat=BODY_REPEAT,
         )
 
+    if BLOOM_MODE == "sharded":
+        from jcrawler_spark.operators import bloom as bloom_ops
+
+        bloom_ops.BROADCAST_BLOOM_MAX_BYTES = 0  # force the shard-join path
+
     state_root = tempfile.mkdtemp(prefix="state-bench-state-")
     cfg = CrawlConfig(
         max_docs=WAVE,
         max_connections=None,
-        bloom_enabled=True,
+        bloom_enabled=BLOOM_MODE != "off",
         bloom_shards=16,
         debug_timing=True,
         state_compression=os.environ.get(
@@ -129,6 +139,7 @@ def main() -> None:
         json.dumps(
             {
                 "cpus": CPUS,
+                "bloom": BLOOM_MODE,
                 "k_seen": K_SEEN,
                 "wave": st.wave if st else 0,
                 "emitted": st.emitted_total if st else 0,
