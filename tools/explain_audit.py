@@ -272,6 +272,76 @@ def main() -> None:
     assert n_ims >= 2, "cache projection must be served from the persisted plan"
     cf.close()
 
+    # politeness wave selection (VERDICT r3 #6): the per-host top-k
+    # (engine._select_wave two-phase salted row_number) must carry a
+    # MAP-SIDE WindowGroupLimit *below* each hashpartitioning Exchange —
+    # Spark's Partial WindowGroupLimit prunes every input partition to k
+    # rows per (host, salt) group BEFORE the shuffle, so the (host, salt)
+    # exchange moves at most k × n_salt × n_hosts rows, never O(frontier).
+    from jcrawler_spark.config import CrawlConfig
+    from jcrawler_spark.engine import CrawlEngine
+
+    peng = CrawlEngine(
+        spark,
+        CrawlConfig(per_host_budget=2),
+        SyntheticFetcher(tbl),
+        tempfile.mkdtemp(prefix="plans-polite-") + "/s",
+    )
+    peng._pending_count = 1 << 40  # unbounded pending: no cap branch
+    pfrontier = spark.range(1000).select(
+        F.concat(
+            F.lit("https://h"), (F.col("id") % 7).cast("string"),
+            F.lit("/p/"), F.col("id"),
+        ).alias("url"),
+        F.concat(F.lit("h"), (F.col("id") % 7).cast("string")).alias("host"),
+        F.lit(1).alias("depth"),
+        F.col("id").cast("double").alias("priority"),
+        F.col("id").alias("order_key"),
+    )
+    pwave, _ = peng._select_wave(pfrontier)
+    pplan = pwave._jdf.queryExecution().executedPlan().toString()
+    plines = pplan.splitlines()
+
+    def _idx(pat):
+        for i, ln in enumerate(plines):
+            if re.search(pat, ln):
+                return i
+        return None
+
+    # printed tree order: a child (executed EARLIER) appears BELOW its
+    # parent — "Partial after Exchange in the listing" = map-side prune
+    i_ex_salt = _idx(r"Exchange hashpartitioning\(host#\d+, salt")
+    i_part_salt = _idx(r"WindowGroupLimit \[host#\d+, salt#\d+L?\].*Partial")
+    i_ex_host = _idx(r"Exchange hashpartitioning\(host#\d+,")
+    i_part_host = _idx(r"WindowGroupLimit \[host#\d+\],.*Partial")
+    wlines = [
+        ln.rstrip()[:120]
+        for ln in plines
+        if re.search(r"Exchange|WindowGroupLimit|Window \[|Range", ln)
+    ]
+    out.append(
+        "## politeness wave selection (two-phase salted per-host top-k)\n\n"
+        "Both row_number phases carry a map-side (Partial) WindowGroupLimit "
+        "BELOW their hashpartitioning Exchange: each input partition is "
+        "pruned to k rows per (host, salt) group before any shuffle, so the "
+        "exchange moves ≤ k·n_salt rows per host — never O(frontier).\n\n"
+        "```\n" + "\n".join(wlines) + "\n```\n"
+    )
+    summary.append(
+        "- **politeness_wave_select**: partial_window_group_limits="
+        f"{len(re.findall(r'WindowGroupLimit.*Partial', pplan))}"
+    )
+    assert None not in (i_ex_salt, i_part_salt, i_ex_host, i_part_host), (
+        "politeness plan lost its WindowGroupLimit/Exchange structure:\n"
+        + pplan
+    )
+    assert i_part_salt > i_ex_salt, (
+        "phase-1 (host, salt) top-k must prune map-side before its Exchange"
+    )
+    assert i_part_host > i_ex_host, (
+        "phase-2 (host) top-k must prune map-side before its Exchange"
+    )
+
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
     for t in ("seen_index", "frontier_add"):
         spark.sql(f"DROP TABLE IF EXISTS {store._catalog_name(t)}")
