@@ -104,8 +104,18 @@ class CrawlConfig:
     state_compression: str = "snappy"
     # print per-phase superstep timings (diagnostics)
     debug_timing: bool = False
-    # Bloom seen-prefilter (exact anti-join still applied afterwards)
-    bloom_enabled: bool = True
+    # Bloom seen-prefilter (exact anti-join still applied afterwards).
+    # Default OFF — measured, not assumed: with the bucketed seen_index,
+    # one 800k wave vs 10^7 seen rows runs 80.6s bloom-off vs 107.1s
+    # broadcast-bloom vs 118.4s shard-join (local[8], min/reps,
+    # BENCH/BASELINE.md "Bloom prefilter policy" + bloom_compare_r4.jsonl):
+    # the one-sided bucketed anti-join already absorbs duplicates more
+    # cheaply than the probe UDF + driver merge + broadcast it would skip.
+    # Enable (broadcast <64 MB, shard-join above) only when the anti-join
+    # itself is the bottleneck: state so large its per-superstep bucketed
+    # SCAN dominates — a 10^10-row seen_index whose compact bitmap fits
+    # where the key table doesn't (DIVERGENCES.md #23).
+    bloom_enabled: bool = False
     bloom_shards: int = 8
     bloom_bits_per_shard: int = 1 << 20
     bloom_hashes: int = 5

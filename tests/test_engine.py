@@ -53,7 +53,11 @@ def _run(spark, pages_df, tmp_path, cfg, failing=None, max_supersteps=40):
 
 
 def test_bfs_matches_fifo_and_wave_oracle(spark, pages_df, pages_local, tmp_path):
-    cfg = CrawlConfig(accept=ACCEPTS, max_docs=500, max_connections=None)
+    # bloom_enabled=True: the default is now off (BENCH/BASELINE.md policy),
+    # so pin the Bloom-prefilter engine path here to keep it covered
+    cfg = CrawlConfig(
+        accept=ACCEPTS, max_docs=500, max_connections=None, bloom_enabled=True
+    )
     eng = _run(spark, pages_df, tmp_path, cfg)
     emitted = eng.emitted_urls()
     aset = _accept_set()
@@ -103,7 +107,11 @@ def test_max_docs_truncation(spark, pages_df, pages_local, tmp_path):
 def test_checkpoint_resume_equivalence(spark, pages_df, tmp_path):
     """Kill after superstep k, resume from snapshot, assert identical final
     emission + frontier state (FIXTURES.md §6 resume-equivalence)."""
-    cfg = CrawlConfig(accept=ACCEPTS, max_docs=500, max_connections=None)
+    # Bloom on: resume must also restore the staged bloom blob (tableio
+    # stage_blob/read_blob round-trip through a crash)
+    cfg = CrawlConfig(
+        accept=ACCEPTS, max_docs=500, max_connections=None, bloom_enabled=True
+    )
     root_a = str(tmp_path / "a")
     eng_a = CrawlEngine(spark, cfg, SyntheticFetcher(pages_df), root_a)
     eng_a.run(seeds=_seeds(), max_supersteps=40)
