@@ -103,10 +103,17 @@ def main() -> None:
     max_docs_env = min(int(os.environ.get("SPARK_GRAFT_MAX_DOCS", "40000")), n_pages)
     n_seeds = max_docs_env if SEED_ALL else max(1000, n_pages // 40)
     seeds = [corpus.url_of(i, n_hosts) for i in range(n_seeds)]
+    # Bloom prefilter mode: follow the measured engine default (off —
+    # BENCH/BASELINE.md "Bloom prefilter policy"); SPARK_GRAFT_BLOOM=on
+    # re-pins the pre-round-4 behaviour for comparisons. The on-mode
+    # per-superstep driver shard-merge + broadcast rebuild is serial
+    # (parallelism-independent) cost, which the scaling protocol exists
+    # to expose — benching a non-default config hid the policy win.
+    bloom_mode = os.environ.get("SPARK_GRAFT_BLOOM", "off")
     cfg = CrawlConfig(
         max_docs=max_docs_env,
         max_connections=None,  # bench measures throughput, not politeness
-        bloom_enabled=True,
+        bloom_enabled=bloom_mode != "off",
         bloom_shards=16,
         debug_timing=os.environ.get("SPARK_GRAFT_DEBUG_TIMING", "") == "1",
         state_compression=os.environ.get(
@@ -200,6 +207,7 @@ def main() -> None:
             "crawl_only": CRAWL_ONLY,
             "seed_all": SEED_ALL,
             "max_docs": os.environ.get("SPARK_GRAFT_MAX_DOCS"),
+            "bloom": bloom_mode,
         },
         **extras,
     }
