@@ -110,11 +110,13 @@ def main() -> None:
     # (parallelism-independent) cost, which the scaling protocol exists
     # to expose — benching a non-default config hid the policy win.
     bloom_mode = os.environ.get("SPARK_GRAFT_BLOOM", "off")
+    no_overlap = os.environ.get("SPARK_GRAFT_NO_OVERLAP", "") == "1"
     cfg = CrawlConfig(
         max_docs=max_docs_env,
         max_connections=None,  # bench measures throughput, not politeness
         bloom_enabled=bloom_mode != "off",
         bloom_shards=16,
+        overlap_writes=not no_overlap,
         debug_timing=os.environ.get("SPARK_GRAFT_DEBUG_TIMING", "") == "1",
         state_compression=os.environ.get(
             "SPARK_GRAFT_STATE_COMPRESSION", "snappy"
@@ -208,6 +210,7 @@ def main() -> None:
             "seed_all": SEED_ALL,
             "max_docs": os.environ.get("SPARK_GRAFT_MAX_DOCS"),
             "bloom": bloom_mode,
+            "overlap_writes": not no_overlap,
         },
         **extras,
     }

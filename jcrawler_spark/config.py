@@ -116,6 +116,11 @@ class CrawlConfig:
     # SCAN dominates — a 10^10-row seen_index whose compact bitmap fits
     # where the key table doesn't (DIVERGENCES.md #23).
     bloom_enabled: bool = False
+    # launch the rank-independent state writes (pages + seen_index) BEFORE
+    # the global-rank barrier so executors stay busy through the driver's
+    # sampling/counts jobs; False = stage everything at commit time
+    # (measured A/B in BENCH/BASELINE.md "Write overlap")
+    overlap_writes: bool = True
     bloom_shards: int = 8
     bloom_bits_per_shard: int = 1 << 20
     bloom_hashes: int = 5

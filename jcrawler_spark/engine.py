@@ -615,6 +615,26 @@ class CrawlEngine:
             )
         )
 
+        # ---- overlap the rank-independent writes with the successor
+        # pipeline: pages + seen_index depend only on the already-persisted
+        # wave results, not on the rank below, so their staging jobs run
+        # WHILE the driver walks the sampling/counts jobs of the global
+        # rank (on a real cluster this keeps executors busy through the
+        # driver's rank barrier; visibility still gated by commit()).
+        # Concurrent readers of seen_index are safe: every committed read
+        # filters superstep <= last-committed, captured at plan time, so
+        # rows staged here (all at superstep s) are stats-pruned.
+        state_appends = {
+            "pages": pages_delta,
+            # slim key projection of the same delta — the bucketed seen
+            # set the next supersteps anti-join against (and the
+            # consumption log the pending view composes with)
+            "seen_index": pages_delta.select("url_hash", "superstep"),
+        }
+        early_futs: list = []
+        if cfg.overlap_writes:
+            early_futs = self.store.stage_async(s, appends=state_appends)
+
         # ---- successor pipeline (JCrawler.java:1395-1450): errors → no
         # links (their links array is empty — null html extracts nothing).
         # Self-filter (F8) + per-page first-wins dedup (A1) already ran
@@ -806,14 +826,9 @@ class CrawlEngine:
         # ---- atomic commit ----
         if err_n > 0:
             self._any_host_errors = True
-        appends = {
-            "pages": pages_delta,
-            # slim key projection of the same delta — the bucketed seen set
-            # the next supersteps anti-join against (and the consumption
-            # log the pending view composes with)
-            "seen_index": pages_delta.select("url_hash", "superstep"),
-            "lineage": lineage,
-        }
+        appends = {"lineage": lineage}
+        if not cfg.overlap_writes:
+            appends.update(state_appends)
         replaces = {}
         if compact:
             replaces["frontier_add"] = compacted
@@ -821,12 +836,16 @@ class CrawlEngine:
             appends["frontier_add"] = frontier_add
         if ignored is not None:
             appends["ignored_domains"] = ignored.withColumn("superstep", F.lit(s))
-        self.store.stage_all(
+        late_futs = self.store.stage_async(
             s,
             appends,
             {"host_state": next_hs} if need_host_state else {},
             replaces=replaces,
         )
+        # commit gate: EVERY staged write (the early pages/seen_index batch
+        # launched before the rank, and this one) must land first
+        for f in early_futs + late_futs:
+            f.result()
         if wave_n < 0:
             wave_n = fetch_n + skipped_n  # both observed in the lineage job
         self.emitted_count += wave_n

@@ -88,6 +88,17 @@ class SnapshotStore:
         # table -> list of (superstep, [new data files], replace)
         self._staged_bucketed: dict[str, list[tuple[int, list[str], bool]]] = {}
         self._lock = threading.Lock()
+        # one pool for the store's lifetime: stage_async futures must
+        # outlive the submitting call (a per-call context-managed pool
+        # would join them immediately and lose the overlap)
+        self._stage_pool = ThreadPoolExecutor(
+            max_workers=8, thread_name_prefix="stage"
+        )
+        # tables with an unfinished stage_async write (same-table overlap
+        # would corrupt the bucketed before/after file attribution), and
+        # the live futures themselves (drained before orphan reclamation)
+        self._inflight_tables: set[str] = set()
+        self._inflight_futs: set = set()
         self._bucketed: dict[str, dict] = {
             t: {"nb": nb} for t, nb in (bucketed or {}).items()
         }
@@ -258,28 +269,86 @@ class SnapshotStore:
             self._staged.setdefault("__blobs__", []).append(rel)
         return rel
 
+    def stage_async(self, superstep: int,
+                    appends: dict[str, DataFrame] | None = None,
+                    snapshots: dict[str, DataFrame] | None = None,
+                    replaces: dict[str, DataFrame] | None = None) -> list:
+        """Launch table-staging writes WITHOUT blocking and return their
+        futures — the caller overlaps driver-side work (e.g. the frontier
+        rank's sampling+counts jobs) with these independent Spark jobs and
+        waits on the futures before commit(). Safe against concurrent
+        readers of the same tables: every committed-snapshot read filters
+        `superstep <= last_committed`, so rows staged here (all at the
+        in-flight superstep) are stats-pruned even if a racing scan lists
+        the new files — the same invariant that makes crash orphans
+        invisible. Visibility still gated by the single commit(). If the
+        caller aborts before waiting, in-flight writes finish in the
+        background as uncommitted orphans — identical to crash semantics;
+        resume()/sync_bucketed reclaims them.
+
+        NOT safe: two outstanding stagings of the SAME table — the bucketed
+        path attributes new data files by a before/after directory diff, so
+        overlapping same-table writes would cross-attribute files. Guarded:
+        raises if the table already has an unfinished staged write."""
+        def _guarded(fn, t, *a):
+            try:
+                return fn(t, *a)
+            finally:
+                with self._lock:
+                    self._inflight_tables.discard(t)
+
+        work = (
+            [(self.stage_append, t, (df, superstep))
+             for t, df in (appends or {}).items()]
+            + [(self.stage_snapshot, t, (df, superstep))
+               for t, df in (snapshots or {}).items()]
+            + [(self.stage_append, t, (df, superstep, True))
+               for t, df in (replaces or {}).items()]
+        )
+        with self._lock:
+            clash = {t for _, t, _ in work} & self._inflight_tables
+            if clash:
+                raise RuntimeError(
+                    f"stage_async: table(s) {sorted(clash)} already have an "
+                    "in-flight staged write; wait on its future first"
+                )
+            self._inflight_tables.update(t for _, t, _ in work)
+        futs = [
+            self._stage_pool.submit(_guarded, fn, t, *a) for fn, t, a in work
+        ]
+        with self._lock:
+            self._inflight_futs.update(futs)
+        for f in futs:
+            f.add_done_callback(self._discard_fut)
+        return futs
+
+    def _discard_fut(self, f) -> None:
+        with self._lock:
+            self._inflight_futs.discard(f)
+
+    def drain_inflight(self) -> None:
+        """Block until every stage_async write has finished (errors
+        swallowed — the caller is about to reconcile state from committed
+        manifests anyway). Called before orphan reclamation so a deletion
+        sweep never races a still-writing staging thread."""
+        with self._lock:
+            futs = list(self._inflight_futs)
+        for f in futs:
+            try:
+                f.result()
+            except Exception:
+                pass
+
     def stage_all(self, superstep: int, appends: dict[str, DataFrame],
                   snapshots: dict[str, DataFrame],
                   replaces: dict[str, DataFrame] | None = None) -> None:
         """Stage several table writes CONCURRENTLY (independent Spark jobs
         share the cluster; serial staging leaves executors idle between
-        small writes). Visibility still gated by the single commit().
-        `replaces` entries compact: their files replace the table's list."""
-        replaces = replaces or {}
-        n = len(appends) + len(snapshots) + len(replaces)
-        with ThreadPoolExecutor(max_workers=max(1, n)) as ex:
-            futs = [
-                ex.submit(self.stage_append, t, df, superstep)
-                for t, df in appends.items()
-            ] + [
-                ex.submit(self.stage_snapshot, t, df, superstep)
-                for t, df in snapshots.items()
-            ] + [
-                ex.submit(self.stage_append, t, df, superstep, True)
-                for t, df in replaces.items()
-            ]
-            for f in futs:
-                f.result()
+        small writes), blocking until all land. Visibility still gated by
+        the single commit(). `replaces` entries compact: their files
+        replace the table's whole accumulated list."""
+        for f in self.stage_async(superstep, appends, snapshots, replaces):
+            f.result()
 
     def commit(self, superstep: int, counters: dict | None = None) -> None:
         """Atomic superstep commit: carry forward the previous manifest's
@@ -428,6 +497,7 @@ class SnapshotStore:
         Called on resume/rollback; returns files removed."""
         if not self._bucketed:
             return 0
+        self.drain_inflight()
         referenced: set[str] = set()
         for s in self.committed_supersteps():
             for spec in self._manifest(s).get("bucketed", {}).values():
@@ -466,6 +536,7 @@ class SnapshotStore:
         re-appends rows with the same ``superstep`` value, and the catalog
         scan lists whatever files are in the directory — rolled-back files
         left behind would resurface as visible duplicates."""
+        self.drain_inflight()
         for s in self.committed_supersteps():
             if s > superstep:
                 os.remove(self._ckpt_path(s))
@@ -478,6 +549,7 @@ class SnapshotStore:
 
     def vacuum(self) -> int:
         """Delete data files not referenced by any committed manifest."""
+        self.drain_inflight()
         referenced: set[str] = set()
         for s in self.committed_supersteps():
             m = self._manifest(s)

@@ -70,6 +70,23 @@ def test_bfs_matches_fifo_and_wave_oracle(spark, pages_df, pages_local, tmp_path
     assert len(emitted) == len(set(emitted))  # exactly-once invariant
 
 
+def test_overlap_writes_off_equivalence(spark, pages_df, pages_local, tmp_path):
+    # overlap_writes=False pins the blocking all-at-commit staging path;
+    # emissions, visited set and lineage must be identical to the default
+    # (overlapped) path already oracle-checked above
+    cfg = CrawlConfig(
+        accept=ACCEPTS, max_docs=500, max_connections=None,
+        overlap_writes=False,
+    )
+    eng = _run(spark, pages_df, tmp_path, cfg)
+    emitted = eng.emitted_urls()
+    aset = _accept_set()
+    oracle = crawl_oracle(pages_local, _seeds(), aset, max_docs=500)
+    assert emitted == oracle.emitted
+    assert eng.visited_set() == oracle.visited
+    assert len(emitted) == len(set(emitted))
+
+
 def test_budgets_and_failing_host(spark, pages_df, pages_local, tmp_path):
     cfg = CrawlConfig(
         accept=ACCEPTS,

@@ -171,3 +171,49 @@ def test_rollback_removes_bucketed_orphans(spark, tmp_path):
     st.commit(2, {})
     rows = sorted(r["url_hash"] for r in st.read("seen_index").collect())
     assert rows == ["a", "b2"]
+
+
+def test_stage_async_same_table_overlap_refused(spark, tmp_path):
+    """Two outstanding stage_async writes to the SAME table would corrupt
+    the bucketed before/after file attribution — the guard must refuse
+    the second batch, and the guard entry must clear once the first
+    write's future resolves."""
+    import pytest as _pytest
+
+    store = SnapshotStore(str(tmp_path / "st"), spark)
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], ["id", "v"])
+    futs = store.stage_async(1, appends={"pages": df})
+    # racing batch on the same table: either refused (first still in
+    # flight) or accepted (first already finished) — never silent overlap
+    try:
+        futs2 = store.stage_async(1, appends={"pages": df})
+    except RuntimeError as e:
+        assert "in-flight" in str(e)
+        futs2 = []
+    for f in futs + futs2:
+        f.result()
+    store.drain_inflight()
+    # guard cleared: staging the same table again now succeeds
+    for f in store.stage_async(1, appends={"pages": df}):
+        f.result()
+    store.commit(1)
+    n = 10 * (2 + len(futs2))
+    assert store.read("pages").count() == n
+
+
+def test_drain_inflight_before_reclaim(spark, tmp_path):
+    """sync_bucketed/vacuum must not sweep while stage_async writes are
+    still landing: drain_inflight blocks until the futures resolve, so a
+    commit right after sees every staged file."""
+    store = SnapshotStore(
+        str(tmp_path / "st"), spark, bucketed={"seen_index": 4}
+    )
+    df = spark.createDataFrame(
+        [(f"h{i}", i) for i in range(50)], ["url_hash", "superstep"]
+    )
+    futs = store.stage_async(1, appends={"seen_index": df})
+    store.drain_inflight()
+    assert all(f.done() for f in futs)
+    store.commit(1)
+    assert store.read("seen_index").count() == 50
+    assert store.sync_bucketed() == 0  # nothing orphaned
