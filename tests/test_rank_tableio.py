@@ -178,8 +178,6 @@ def test_stage_async_same_table_overlap_refused(spark, tmp_path):
     the bucketed before/after file attribution — the guard must refuse
     the second batch, and the guard entry must clear once the first
     write's future resolves."""
-    import pytest as _pytest
-
     store = SnapshotStore(str(tmp_path / "st"), spark)
     df = spark.createDataFrame([(i, f"v{i}") for i in range(10)], ["id", "v"])
     futs = store.stage_async(1, appends={"pages": df})
