@@ -739,6 +739,62 @@ WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
 """
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-duplicate clustering end-to-end: MinHash-LSH candidates →
+    n-gram Jaccard verify (≥0.2) → connected components. One row per doc
+    with a verified duplicate: (doc_id, group_id=component min id,
+    is_keeper=canonical member)."""
+    docs = _t(spark, sf_dir, "documents")
+    g = dedup.duplicate_groups(
+        docs, k=3, n_perm=4, band_size=2, threshold=0.2
+    )
+    return g.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("group_id").cast("long").alias("group_id"),
+        "is_keeper",
+    )
+
+
+_DEDUP_GROUPS_SQL = f"""
+WITH RECURSIVE sig AS (
+  SELECT doc_id AS id,
+    {dedup.minhash_sql('s', 0)} AS mh0, {dedup.minhash_sql('s', 1)} AS mh1,
+    {dedup.minhash_sql('s', 2)} AS mh2, {dedup.minhash_sql('s', 3)} AS mh3
+  FROM (SELECT doc_id, {_SH_GUARDED} AS s FROM documents)
+),
+bands AS (
+  SELECT id, 0 AS band,
+    {dedup.hash60_sql("mh0::VARCHAR || ',' || mh1::VARCHAR")} AS bh FROM sig
+  UNION ALL
+  SELECT id, 1 AS band,
+    {dedup.hash60_sql("mh2::VARCHAR || ',' || mh3::VARCHAR")} AS bh FROM sig
+),
+pairs AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+sh AS (SELECT doc_id AS id, list_distinct({_SHINGLES}) AS s FROM documents),
+verified AS (
+  SELECT p.id_a, p.id_b
+  FROM pairs p JOIN sh sa ON sa.id = p.id_a JOIN sh sb ON sb.id = p.id_b
+  WHERE len(list_intersect(sa.s, sb.s))::DOUBLE /
+        (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))) >= 0.2
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM verified
+),
+reach AS (
+  SELECT src AS id, src AS comp FROM edges
+  UNION
+  SELECT e.dst AS id, r.comp AS comp FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT id AS doc_id, min(comp) AS group_id, (min(comp) = id) AS is_keeper
+FROM reach GROUP BY id
+"""
+
+
 def q_simhash(spark, sf_dir):
     """SimHash-32 signatures over whitespace tokens."""
     return _t(spark, sf_dir, "documents").select(
@@ -1409,6 +1465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_pairs": q_lsh_pairs,
         "ngram_jaccard": q_ngram_jaccard,
+        "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -1450,6 +1507,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_signatures": _MINHASH_SQL,
         "lsh_pairs": _LSH_PAIRS_SQL,
         "ngram_jaccard": _NGRAM_JACCARD_SQL,
+        "dedup_groups": _DEDUP_GROUPS_SQL,
         "simhash": _SIMHASH_SQL,
         "cosine_topk": _COSINE_SQL,
         "lsh_ann_topk": _LSH_ANN_SQL,

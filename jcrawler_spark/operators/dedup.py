@@ -231,6 +231,108 @@ def lsh_bucket_stats(
     )
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components over an undirected pair list (id_a, id_b):
+    returns (id, comp) with comp = the minimum id in the node's component —
+    the canonical label a dedup pipeline keys duplicate GROUPS by.
+
+    Algorithm: min-label propagation. Each round every node takes the min
+    of its own label and its neighbours' labels; converged when no label
+    changes. Rounds = graph diameter; LSH duplicate graphs are near-star
+    (one hub per banding bucket, see `lsh_candidate_pairs`' star collapse),
+    so real corpora converge in 2-4 rounds. Each round is two shuffles
+    (edge join + min-groupBy) over the EDGE list only — never all docs —
+    and `localCheckpoint` cuts the plan so the loop stays O(1) per round.
+    For adversarially chain-shaped graphs (diameter ~n) the literature's
+    large-star/small-star alternation bounds rounds by O(log² n); the
+    propagation loop here is the simpler standard choice because banded
+    LSH output cannot produce long chains without intermediate hubs."""
+    edges = pairs.select(
+        F.col("id_a").cast("long").alias("src"),
+        F.col("id_b").cast("long").alias("dst"),
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), "comp"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        converged = (
+            new_labels.join(
+                labels.withColumnRenamed("comp", "old"), "id"
+            )
+            .where(F.col("comp") != F.col("old"))
+            .isEmpty()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if converged:
+            break
+    edges.unpersist()
+    return labels
+
+
+def duplicate_groups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_perm: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.2,
+    max_bucket: int | None = 64,
+) -> DataFrame:
+    """End-to-end near-duplicate clustering: MinHash → LSH candidates →
+    n-gram Jaccard verify (≥ threshold) → connected components. Returns
+    one row per doc that belongs to a duplicate group:
+    (id_col, group_id, is_keeper) where group_id is the component's min id
+    and is_keeper marks the canonical (min-id) member — the row a
+    training-data pipeline keeps. Docs with no verified duplicate don't
+    appear (they are all implicit keepers; see `dedup_corpus`)."""
+    sigs = minhash_signatures(docs, text_col, id_col, k=k, n_perm=n_perm)
+    cand = lsh_candidate_pairs(
+        sigs, n_perm=n_perm, band_size=band_size, max_bucket=max_bucket
+    )
+    verified = ngram_jaccard(cand, docs, text_col, id_col, k=k).where(
+        F.col("jaccard") >= threshold
+    )
+    comps = connected_components(verified.select("id_a", "id_b"))
+    return comps.select(
+        F.col("id").alias(id_col),
+        F.col("comp").alias("group_id"),
+        (F.col("id") == F.col("comp")).alias("is_keeper"),
+    )
+
+
+def dedup_corpus(
+    docs: DataFrame, groups: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Drop non-canonical duplicates: anti-join docs against the groups'
+    non-keeper rows. Keeps every singleton (absent from `groups`) and each
+    group's min-id representative. One shuffle on the id."""
+    losers = groups.where(~F.col("is_keeper")).select(id_col)
+    return docs.join(losers, id_col, "left_anti")
+
+
 def ngram_jaccard(
     pairs: DataFrame,
     docs: DataFrame,

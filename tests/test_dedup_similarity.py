@@ -366,3 +366,43 @@ def test_trained_ivf_recall_beats_lsh_single_probe(spark):
     assert recall_ivf >= recall_lsh, (recall_ivf, recall_lsh)
     # trained cells must actually capture the planted clusters well
     assert recall_ivf >= 0.8, recall_ivf
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Min-label propagation labels every node with its component's min id,
+    including a 4-node chain (worst diameter for LSH-shaped graphs) and a
+    disjoint pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {r["id"]: r["comp"] for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_duplicate_groups_and_dedup_corpus(spark):
+    """End-to-end clustering: planted near-dup trio + exact pair + two
+    singletons -> groups keyed by min id; dedup_corpus keeps exactly the
+    keepers plus every singleton."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base + " extra"),          # near-dup of 1
+        (3, base.replace("dog", "cat")),  # near-dup of 1
+        (7, "completely different words about spark clusters and shuffles"),
+        (8, "completely different words about spark clusters and shuffles"),
+        (9, "a singleton document nothing resembles in any way whatsoever"),
+        (10, "another lonely text with its own unique vocabulary entirely"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    groups = dedup.duplicate_groups(docs, n_perm=8, band_size=2, threshold=0.2)
+    got = {r["doc_id"]: (r["group_id"], r["is_keeper"]) for r in groups.collect()}
+    assert got[1] == (1, True)
+    assert got[2] == (1, False)
+    assert got[3] == (1, False)
+    assert got[7] == (7, True)
+    assert got[8] == (7, False)
+    assert 9 not in got and 10 not in got  # singletons never appear
+    kept = sorted(
+        r["doc_id"] for r in dedup.dedup_corpus(docs, groups).collect()
+    )
+    assert kept == [1, 7, 9, 10]
