@@ -110,13 +110,16 @@ def main() -> None:
     # (parallelism-independent) cost, which the scaling protocol exists
     # to expose — benching a non-default config hid the policy win.
     bloom_mode = os.environ.get("SPARK_GRAFT_BLOOM", "off")
-    no_overlap = os.environ.get("SPARK_GRAFT_NO_OVERLAP", "") == "1"
+    # Write overlap follows the measured engine default (off on a single
+    # JVM — BENCH/BASELINE.md "Write overlap"); SPARK_GRAFT_OVERLAP=1
+    # opts the async pre-rank staging path in for A/Bs.
+    overlap = os.environ.get("SPARK_GRAFT_OVERLAP", "") == "1"
     cfg = CrawlConfig(
         max_docs=max_docs_env,
         max_connections=None,  # bench measures throughput, not politeness
         bloom_enabled=bloom_mode != "off",
         bloom_shards=16,
-        overlap_writes=not no_overlap,
+        overlap_writes=overlap,
         debug_timing=os.environ.get("SPARK_GRAFT_DEBUG_TIMING", "") == "1",
         state_compression=os.environ.get(
             "SPARK_GRAFT_STATE_COMPRESSION", "snappy"
@@ -210,7 +213,7 @@ def main() -> None:
             "seed_all": SEED_ALL,
             "max_docs": os.environ.get("SPARK_GRAFT_MAX_DOCS"),
             "bloom": bloom_mode,
-            "overlap_writes": not no_overlap,
+            "overlap_writes": overlap,
         },
         **extras,
     }

@@ -116,11 +116,17 @@ class CrawlConfig:
     # SCAN dominates — a 10^10-row seen_index whose compact bitmap fits
     # where the key table doesn't (DIVERGENCES.md #23).
     bloom_enabled: bool = False
-    # launch the rank-independent state writes (pages + seen_index) BEFORE
-    # the global-rank barrier so executors stay busy through the driver's
-    # sampling/counts jobs; False = stage everything at commit time
-    # (measured A/B in BENCH/BASELINE.md "Write overlap")
-    overlap_writes: bool = True
+    # True = launch the rank-independent state writes (pages + seen_index)
+    # BEFORE the global-rank barrier instead of at commit time. MEASURED
+    # default is OFF: on a single JVM the async staging jobs time-slice
+    # against the rank/successor jobs instead of filling an idle barrier,
+    # and the multiwave A/B (3 reps alternating, min/reps, local[8]) is
+    # 51.6 s blocking vs 119.4 s overlapped — 2.3× WORSE (BENCH/
+    # overlap_ab_r4.jsonl, BENCH/BASELINE.md "Write overlap"). The flag
+    # remains for a real cluster whose executors genuinely idle through
+    # the driver's rank sampling barrier; the path stays oracle-pinned by
+    # tests either way (commit still gates on every staged write landing).
+    overlap_writes: bool = False
     bloom_shards: int = 8
     bloom_bits_per_shard: int = 1 << 20
     bloom_hashes: int = 5

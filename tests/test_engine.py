@@ -70,13 +70,14 @@ def test_bfs_matches_fifo_and_wave_oracle(spark, pages_df, pages_local, tmp_path
     assert len(emitted) == len(set(emitted))  # exactly-once invariant
 
 
-def test_overlap_writes_off_equivalence(spark, pages_df, pages_local, tmp_path):
-    # overlap_writes=False pins the blocking all-at-commit staging path;
+def test_overlap_writes_on_equivalence(spark, pages_df, pages_local, tmp_path):
+    # overlap_writes=True pins the async pre-rank staging path (the default
+    # is now the blocking form, BENCH/BASELINE.md "Write overlap");
     # emissions, visited set and lineage must be identical to the default
-    # (overlapped) path already oracle-checked above
+    # path already oracle-checked above
     cfg = CrawlConfig(
         accept=ACCEPTS, max_docs=500, max_connections=None,
-        overlap_writes=False,
+        overlap_writes=True,
     )
     eng = _run(spark, pages_df, tmp_path, cfg)
     emitted = eng.emitted_urls()

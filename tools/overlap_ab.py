@@ -3,9 +3,10 @@ launched before the rank barrier vs the all-at-commit stage_all form).
 
 Protocol: multiwave crawl bench (the barrier-heavy shape) at local[8],
 `reps` per side, alternating A/B each rep, min-over-reps compared — the
-same noisy-host discipline as tools/scaling_run.py. The B side is
-selected by SPARK_GRAFT_NO_OVERLAP=1 (engine falls back to the blocking
-stage_all path), so both sides run the SAME working tree and commit.
+same noisy-host discipline as tools/scaling_run.py. The A side opts in
+via SPARK_GRAFT_OVERLAP=1 (the engine default is the blocking stage-all
+path, per this tool's r4 measurement), so both sides run the SAME
+working tree and commit.
 
 Usage: python tools/overlap_ab.py [reps=3] > BENCH/overlap_ab_r4.jsonl
 """
@@ -32,8 +33,8 @@ BASE_ENV = {
 def run_bench(overlap: bool) -> dict:
     env = dict(os.environ)
     env.update(BASE_ENV)
-    if not overlap:
-        env["SPARK_GRAFT_NO_OVERLAP"] = "1"
+    if overlap:
+        env["SPARK_GRAFT_OVERLAP"] = "1"
     p = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True, text=True, env=env, cwd="/root/repo",
