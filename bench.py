@@ -46,6 +46,12 @@ BODY_REPEAT = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "25"))
 # A 10^10 crawl runs with waves of 10^6-10^8 URLs where per-superstep
 # driver latency is noise; this measures that regime at local scale.
 SEED_ALL = os.environ.get("SPARK_GRAFT_SEED_ALL", "") == "1"
+# cluster-evidence mode (north rule: "spark-submit --py-files on a
+# multi-executor cluster at two cluster sizes"): when set, the session is
+# built on this master (e.g. local-cluster[8,2,6144] — REAL separate
+# executor JVMs shuffling over the block manager) instead of local[CPUS].
+# tools/cluster_scaling_run.py drives it via spark-submit --py-files.
+MASTER = os.environ.get("SPARK_GRAFT_MASTER", "")
 
 
 def _sf_from_dir(d: str) -> float:
@@ -57,8 +63,16 @@ def _sf_from_dir(d: str) -> float:
 
 
 def main() -> None:
-    spark = get_spark(f"local[{CPUS}]", app_name="jcrawler-bench")
+    spark = get_spark(MASTER or f"local[{CPUS}]", app_name="jcrawler-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    def count_executors():
+        # live executor JVMs (driver entry excluded) — proves the run
+        # really was multi-executor; sampled AFTER the workload so all
+        # executors have registered
+        if not MASTER or MASTER.startswith("local["):
+            return None
+        mem_status = spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+        return max(0, mem_status.size() - 1)
     import __spark_entry__ as entrymod
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
@@ -204,6 +218,8 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_from_dir(SF_DIR),
         "cpus": CPUS,
+        "master": MASTER or f"local[{CPUS}]",
+        "n_executors": count_executors(),
         "corpus_pages": n_pages,
         "git_sha": sha,
         "config": {

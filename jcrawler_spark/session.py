@@ -45,6 +45,10 @@ def get_spark(
         # enough to keep task overhead negligible (BASELINE.md protocol)
         if master.startswith("local[") and master[6:-1].isdigit():
             shuffle_partitions = 2 * int(master[6:-1])
+        elif master.startswith("local-cluster["):
+            # local-cluster[nExec,coresPerExec,memMB] — real executor JVMs
+            n_exec, exec_cores = master[14:-1].split(",")[:2]
+            shuffle_partitions = 2 * int(n_exec) * int(exec_cores)
         else:
             shuffle_partitions = 2 * cores
     # local mode: one JVM holds driver + all executor threads — size it for
