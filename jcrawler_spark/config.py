@@ -133,6 +133,16 @@ class CrawlConfig:
     # grow the Bloom (new generation, 4× bits) when the current generation's
     # fill ratio crosses this; None disables growth (warn-only)
     bloom_grow_at_fill: float | None = 0.5
+    # which prefilter structure bloom_enabled turns on: "bloom" (append-only
+    # bitmaps, O(m_bits) merge traffic) or "cuckoo" (fingerprint table,
+    # O(wave) merge traffic, supports DELETION — requeue_expired forgets
+    # requeued URLs so prefilter selectivity survives recrawl cycles).
+    # North rule names both: "partitioned Bloom/cuckoo filter".
+    seen_filter_kind: str = "bloom"
+    # cuckoo table size per shard: buckets × 4 slots × 2 bytes; at the
+    # default 2^16 buckets × 8 shards the filter holds ~2M URLs at the
+    # 0.95 load cuckoo tables sustain (Fan et al. 2014, table 2)
+    cuckoo_buckets_per_shard: int = 1 << 16
 
     def effective_wave_budget(self) -> int | None:
         """The global per-wave fetch cap. Explicit `wave_budget` wins; with

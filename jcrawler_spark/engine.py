@@ -50,6 +50,7 @@ from jcrawler_spark.config import CrawlConfig, TraversalType
 from jcrawler_spark.functions import generators, urlops
 from jcrawler_spark.operators import accept as accept_ops
 from jcrawler_spark.operators import bloom as bloom_ops
+from jcrawler_spark.operators import cuckoo as cuckoo_ops
 from jcrawler_spark.operators import extract
 from jcrawler_spark.operators import rank as rank_ops
 from jcrawler_spark.plans.tableio import SnapshotStore
@@ -208,7 +209,11 @@ class CrawlEngine:
         self._pending_count = 0
         self._any_host_errors = False
         self._rank_cache: DataFrame | None = None
-        self._bloom: bloom_ops.GenerationalBloom | None = None
+        # seen-prefilter (GenerationalBloom or ShardedCuckoo by
+        # config.seen_filter_kind — same facade, same blob slot)
+        self._bloom: (
+            bloom_ops.GenerationalBloom | cuckoo_ops.ShardedCuckoo | None
+        ) = None
         # frontier delta-log compaction horizon: pages deltas at or before
         # this superstep are already folded into the frontier_add base
         self._last_compact = 0
@@ -258,10 +263,15 @@ class CrawlEngine:
             F.format_string("%08x", F.col("order_key")).alias("path_key"),
         )
         cfg = self.config
-        self._bloom = bloom_ops.GenerationalBloom(
-            cfg.bloom_shards, cfg.bloom_bits_per_shard, cfg.bloom_hashes,
-            grow_at_fill=cfg.bloom_grow_at_fill,
-        )
+        if cfg.seen_filter_kind == "cuckoo":
+            self._bloom = cuckoo_ops.ShardedCuckoo(
+                cfg.bloom_shards, cfg.cuckoo_buckets_per_shard
+            )
+        else:
+            self._bloom = bloom_ops.GenerationalBloom(
+                cfg.bloom_shards, cfg.bloom_bits_per_shard, cfg.bloom_hashes,
+                grow_at_fill=cfg.bloom_grow_at_fill,
+            )
         self.store.stage_append("frontier_add", pending, 0)
         rank_cache.unpersist()
         self.order_counter = n_seeds
@@ -328,7 +338,9 @@ class CrawlEngine:
         self.accept_set = list(c["accept_set"])
         self._last_compact = int(c.get("last_compact", 0))
         blob = self.store.read_blob(last)
-        self._bloom = bloom_ops.bloom_from_bytes(blob)
+        # dispatch by blob magic: a resumed crawl keeps the filter KIND it
+        # was seeded with, whatever the current config says
+        self._bloom = cuckoo_ops.seen_filter_from_bytes(blob)
         return last
 
     # ------------------------------------------------------------------
@@ -706,7 +718,12 @@ class CrawlEngine:
             cand = cand.join(pending.select("url_hash"), "url_hash", "left_anti")
             seen_tbl = self._seen_hashes()
             if cfg.bloom_enabled and self._bloom is not None:
-                cand = bloom_ops.prefilter_auto(self.spark, cand, self._bloom)
+                pf = (
+                    cuckoo_ops.prefilter_auto
+                    if isinstance(self._bloom, cuckoo_ops.ShardedCuckoo)
+                    else bloom_ops.prefilter_auto
+                )
+                cand = pf(self.spark, cand, self._bloom)
                 maybe = cand.where(F.col("maybe_seen")).drop("maybe_seen")
                 fresh = cand.where(~F.col("maybe_seen")).drop("maybe_seen")
                 if seen_tbl is not None:
@@ -795,19 +812,28 @@ class CrawlEngine:
             ).alias("robots_disallow"),
         )
 
-        # ---- update Bloom with this wave's hashes (distributed bitmap build) ----
+        # ---- update seen-prefilter with this wave's hashes (distributed) ----
         if cfg.bloom_enabled and self._bloom is not None:
             _tick("pre-bloom", tick)
-            incs = bloom_ops.build_shard_increments(
-                wave.select("url_hash"),
-                self._bloom.n_shards,
-                self._bloom.m_bits,
-                self._bloom.k,
-            )
-            for shard, bitmap in incs:
-                self._bloom.merge_shard(shard, bitmap)
+            if isinstance(self._bloom, cuckoo_ops.ShardedCuckoo):
+                for shard, fps, i1s in cuckoo_ops.build_shard_inserts(
+                    wave.select("url_hash"),
+                    self._bloom.n_shards,
+                    self._bloom.n_buckets,
+                ):
+                    self._bloom.insert_batch(shard, fps, i1s)
+            else:
+                incs = bloom_ops.build_shard_increments(
+                    wave.select("url_hash"),
+                    self._bloom.n_shards,
+                    self._bloom.m_bits,
+                    self._bloom.k,
+                )
+                for shard, bitmap in incs:
+                    self._bloom.merge_shard(shard, bitmap)
             # saturation check: grow a fresh 4x generation when the current
-            # one crosses the fill threshold (loud, never silent)
+            # one crosses the fill threshold (loud, never silent; cuckoo
+            # tables park overflow in the stash instead — also loud)
             self._bloom.maybe_grow()
 
         # ---- lineage from the already-collected per-partition rows ----
@@ -943,8 +969,13 @@ class CrawlEngine:
             .join(latest, "url_hash")
             .where(F.col("superstep") == F.col("last_s"))
             .where(F.col("last_s") <= F.lit(s - max_age_supersteps))
-            .join(pending.select("url_hash"), "url_hash", "left_anti")
         )
+        if pending is not None:
+            # skip URLs already queued; a fully-drained-and-compacted
+            # frontier reads as None (no pending rows at all)
+            expired = expired.join(
+                pending.select("url_hash"), "url_hash", "left_anti"
+            )
         rows = expired.select(
             "url",
             "url_hash",
@@ -963,6 +994,24 @@ class CrawlEngine:
         # (commit() carries forward all other tables from the prior manifest)
         self.store.stage_append("frontier_add", rows, s + 1)
         n = rows.count()
+        if (
+            self.config.bloom_enabled
+            and isinstance(self._bloom, cuckoo_ops.ShardedCuckoo)
+            and n > 0
+        ):
+            # the cuckoo prefilter can FORGET requeued URLs (the Bloom
+            # can't): without this every expired-and-requeued URL stays
+            # "maybe seen" forever and the prefilter's selectivity decays
+            # across recrawl cycles. Same distributed key-material build
+            # as insert; deletion of inserted-only keys keeps the
+            # no-false-negative contract (operators/cuckoo.py docstring).
+            for shard, fps, i1s in cuckoo_ops.build_shard_inserts(
+                rows.select("url_hash"),
+                self._bloom.n_shards,
+                self._bloom.n_buckets,
+            ):
+                self._bloom.delete_batch(shard, fps, i1s)
+            self.store.stage_blob("bloom", self._bloom.to_bytes(), s + 1)
         self._pending_count += n
         self.superstep = s + 1
         self.store.commit(s + 1, self._counters())
