@@ -14,12 +14,20 @@ real deliverable code path end-to-end:
   spark-submit --py-files jcrawler_spark.zip \
       --master local-cluster[N,2,mem] bench.py   (crawl-only mode)
 
-at N=2 and 4N=8 executors (2 cores each -> 4 vs 16 task slots, <=half the
-VM's 32 hardware threads so the 16-slot level is not self-throttled by
-host contention). Protocol mirrors tools/scaling_run.py: reps alternate
-order, a pure-CPU fixed-work control runs before every rep to measure the
-machine's real 4->16-process capacity at that moment, and per-config
-minima are compared (noisy-host practice, BENCH/BASELINE.md).
+at N=2 and 4N=8 executors (ONE core each -> 2 vs 8 task slots). The span
+is deliberately the local[N] protocol's 2-vs-8-core span: a first run at
+2-core executors (4 vs 16 slots, BENCH/cluster_runs_r4_16core.jsonl)
+measured flat scaling and root-caused it to the HOST, not the engine or
+the cluster stack — this VM's kernel page-fault/allocation path saturates
+between 8 and 16 concurrent faulting processes (tools/host_controls.py
+'alloc' probe: 5-11x per-proc slowdown at 16 procs while the ALU and
+pre-faulted-bandwidth probes stay flat; same-day single-JVM local[16] was
+SLOWER than local[4] on the identical workload, and 8 executor JVMs beat
+the same-core single JVM — full numbers in BENCH/BASELINE.md). Protocol
+mirrors tools/scaling_run.py: reps alternate order, and BOTH an ALU and
+an allocation-path control run before every rep; the summary reports
+efficiency raw, vs the ALU ceiling (continuity with rounds 2-4), and vs
+the alloc ceiling (the binding one for an allocation-heavy data plane).
 
 Outputs one JSON line per rep plus a summary line; redirect to
 BENCH/cluster_runs_r4.jsonl.
@@ -30,7 +38,6 @@ Usage: python tools/cluster_scaling_run.py [reps=3] > out.jsonl
 from __future__ import annotations
 
 import json
-import multiprocessing as mp
 import os
 import subprocess
 import sys
@@ -52,8 +59,11 @@ BASE_ENV = {
     "SPARK_GRAFT_MAX_DOCS": "200000",
 }
 
-EXEC_CORES = 2
-EXEC_MEM_MB = 6144
+EXEC_CORES = 1
+# sized so the ~5 GB cached corpus fits in storage memory even at the
+# 2-executor level — otherwise eviction penalizes N and flatters the
+# N->4N speedup (8 x 10 GiB + 16 GiB driver stays inside the 128 GiB VM)
+EXEC_MEM_MB = 10240
 
 
 def make_pyfiles_zip(dest: str) -> str:
@@ -71,22 +81,13 @@ def make_pyfiles_zip(dest: str) -> str:
     return dest
 
 
-def _burn(n: int) -> int:
-    x = 0
-    for i in range(n):
-        x += i * i
-    return x
-
-
 def cpu_control() -> dict:
-    """Fixed work per process at the two TOTAL-core levels (4 vs 16)."""
-    out = {}
-    for procs in (2 * EXEC_CORES, 8 * EXEC_CORES):
-        t0 = time.time()
-        with mp.Pool(procs) as p:
-            p.map(_burn, [6_000_000] * procs)
-        out[procs] = round(time.time() - t0, 3)
-    return out
+    """ALU + allocation-path probes at the two TOTAL-core levels."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from host_controls import control
+
+    levels = (2 * EXEC_CORES, 8 * EXEC_CORES)
+    return control(("alu", "alloc"), levels)
 
 
 def run_cluster_bench(n_exec: int, seed_all: bool, pyzip: str) -> dict:
@@ -163,9 +164,14 @@ def main() -> None:
     urls = results[("multiwave", 8)][0]["crawl_urls"]
     n_links = results[("multiwave", 8)][0]["links_extracted"]
     lo, hi = 2 * EXEC_CORES, 8 * EXEC_CORES
-    ratios = sorted(c[hi] / c[lo] for c in controls)
-    slow = ratios[len(ratios) // 2]
-    ceiling = 4.0 / slow
+
+    def ceiling_of(kind: str) -> float:
+        ratios = sorted(c[kind][hi] / c[kind][lo] for c in controls)
+        slow = ratios[len(ratios) // 2]
+        return 4.0 / slow
+
+    alu_ceiling = ceiling_of("alu")
+    alloc_ceiling = ceiling_of("alloc")
 
     summary: dict = {
         "summary": True,
@@ -174,29 +180,32 @@ def main() -> None:
         "executors": {"N": 2, "4N": 8},
         "corpus_pages": results[("multiwave", 8)][0]["corpus_pages"],
         "crawl_urls": urls,
-        "control_per_proc_slowdown": round(slow, 3),
-        "control_speedup_ceiling": round(ceiling, 2),
+        "alu_speedup_ceiling": round(alu_ceiling, 2),
+        "alloc_speedup_ceiling": round(alloc_ceiling, 2),
         "modes": {},
     }
+
+    def effs(sp: float) -> dict:
+        return {
+            "speedup_N_to_4N": round(sp, 2),
+            "efficiency_raw": round(sp / 4, 3),
+            "efficiency_vs_alu_control": round(sp / alu_ceiling, 3),
+            "efficiency_vs_alloc_control": round(sp / alloc_ceiling, 3),
+        }
+
     for mode in ("multiwave", "steadystate"):
         t2, t8 = best_crawl(mode, 2), best_crawl(mode, 8)
-        sp = t2 / t8
         summary["modes"][mode] = {
             "crawl_s": {"exec2": t2, "exec8": t8},
             "urls_per_sec": {"exec2": round(urls / t2, 1),
                              "exec8": round(urls / t8, 1)},
-            "speedup_N_to_4N": round(sp, 2),
-            "efficiency_raw": round(sp / 4, 3),
-            "efficiency_vs_control": round(sp / ceiling, 3),
+            **effs(t2 / t8),
         }
     e2, e8 = best_extract(2), best_extract(8)
-    sp = e2 / e8
     summary["extract_bulk"] = {
         "links_per_sec": {"exec2": round(n_links / e2, 1),
                           "exec8": round(n_links / e8, 1)},
-        "speedup_N_to_4N": round(sp, 2),
-        "efficiency_raw": round(sp / 4, 3),
-        "efficiency_vs_control": round(sp / ceiling, 3),
+        **effs(e2 / e8),
     }
     print(json.dumps(summary), flush=True)
 
