@@ -191,6 +191,9 @@ def main() -> None:
         "token_count",
         "quality_score",
         "dedup_exact",
+        "dedup_groups",
+        "normalize_html",
+        "page_diff",
     )
     for name in op_names:
         fn = entrymod.queries()[name]

@@ -45,9 +45,11 @@ WAVE = int(os.environ.get("SPARK_GRAFT_WAVE", "800000"))
 BODY_REPEAT = int(os.environ.get("SPARK_GRAFT_BODY_REPEAT", "25"))
 CORPUS_DIR = os.environ.get("SPARK_GRAFT_CORPUS_DIR", "")
 BUCKETS = 32
-# Bloom prefilter mode for the VERDICT r3 #4 comparison row:
-#   on      — engine default (broadcast below BROADCAST_BLOOM_MAX_BYTES)
-#   sharded — force the shard-join prefilter (the 10^10-frontier form)
+# Seen-prefilter mode for the VERDICT r3 #4 comparison row:
+#   on      — Bloom (broadcast below BROADCAST_BLOOM_MAX_BYTES)
+#   sharded — force the Bloom shard-join prefilter (10^10-frontier form)
+#   cuckoo  — cuckoo-filter kind (operators/cuckoo.py; O(wave) key-material
+#             merge instead of O(m_bits) bitmap merge)
 #   off     — no prefilter; the bucketed exact anti-join stands alone
 BLOOM_MODE = os.environ.get("SPARK_GRAFT_BLOOM", "on")
 
@@ -90,6 +92,10 @@ def main() -> None:
         max_connections=None,
         bloom_enabled=BLOOM_MODE != "off",
         bloom_shards=16,
+        seen_filter_kind="cuckoo" if BLOOM_MODE == "cuckoo" else "bloom",
+        # sized for K_SEEN + wave at <0.7 load: 16 shards x 2^18 buckets
+        # x 4 slots = 16.8M slots (33.5 MB — broadcast regime)
+        cuckoo_buckets_per_shard=1 << 18,
         debug_timing=True,
         state_compression=os.environ.get(
             "SPARK_GRAFT_STATE_COMPRESSION", "snappy"
