@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="generate an N-page synthetic corpus at --corpus")
     p.add_argument("--master", default=None)
     p.add_argument("--max-supersteps", type=int, default=None)
+    p.add_argument("--seen-filter", default="off",
+                   choices=["off", "bloom", "cuckoo"],
+                   help="opt-in seen-prefilter kind (default off: the "
+                        "bucketed exact anti-join is the measured-fastest "
+                        "gate — BENCH/BASELINE.md 'Bloom prefilter policy'; "
+                        "cuckoo additionally forgets expiry-requeued URLs)")
     return p
 
 
@@ -115,6 +121,10 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         enforce_crawl_delay=args.crawl_delay > 0,
         crawl_delay_seconds=max(args.crawl_delay, 1),
         real_clock=args.real_clock,
+        bloom_enabled=args.seen_filter != "off",
+        seen_filter_kind=(
+            "cuckoo" if args.seen_filter == "cuckoo" else "bloom"
+        ),
     )
     eng = CrawlEngine(spark, cfg, fetcher, args.state)
     if args.resume:
