@@ -202,6 +202,18 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 2)
 
     total = round(sum(timings.values()), 2)
+    # host-condition probe (BENCH protocol hygiene, round 4): this VM's
+    # kernel allocation path saturates unpredictably (BENCH/BASELINE.md
+    # "Multi-executor (spark-submit) protocol"); stamping each bench
+    # record with the probe makes round-over-round comparisons honest —
+    # a slower suite on a stormier host is drift, not regression.
+    try:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        from host_controls import control
+
+        host_probe = control(("alu", "alloc"), (8,))
+    except Exception:
+        host_probe = None
     # self-describing record (BENCH protocol hygiene, VERDICT r3 #7): the
     # exact commit + knobs this number was measured at
     try:
@@ -223,6 +235,7 @@ def main() -> None:
         "cpus": CPUS,
         "master": MASTER or f"local[{CPUS}]",
         "n_executors": count_executors(),
+        "host_probe_s": host_probe,
         "corpus_pages": n_pages,
         "git_sha": sha,
         "config": {
