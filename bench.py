@@ -206,12 +206,24 @@ def main() -> None:
     # kernel allocation path saturates unpredictably (BENCH/BASELINE.md
     # "Multi-executor (spark-submit) protocol"); stamping each bench
     # record with the probe makes round-over-round comparisons honest —
-    # a slower suite on a stormier host is drift, not regression.
+    # a slower suite on a stormier host is drift, not regression. Runs in
+    # a SUBPROCESS: multiprocessing fork inside the live py4j-attached
+    # driver can inherit a mid-operation lock and deadlock.
     try:
-        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
-        from host_controls import control
+        import subprocess
 
-        host_probe = control(("alu", "alloc"), (8,))
+        probe_out = subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "import sys, json; sys.path.insert(0, sys.argv[1]); "
+                "from host_controls import control; "
+                'print(json.dumps(control(("alu", "alloc"), (8,))))',
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"),
+            ],
+            capture_output=True, text=True, timeout=120,
+        )
+        host_probe = json.loads(probe_out.stdout.strip().splitlines()[-1])
     except Exception:
         host_probe = None
     # self-describing record (BENCH protocol hygiene, VERDICT r3 #7): the

@@ -305,6 +305,10 @@ class CrawlEngine:
             "any_host_errors": self._any_host_errors,
             "accept_set": self.accept_set,
             "last_compact": self._last_compact,
+            # whether the staged filter blob has actually been receiving
+            # wave inserts — resume() uses this to detect a prefilter
+            # toggled ON across resume against a stale/empty blob
+            "seen_filter_active": self.config.bloom_enabled,
         }
 
     def resume(self) -> int:
@@ -341,6 +345,31 @@ class CrawlEngine:
         # dispatch by blob magic: a resumed crawl keeps the filter KIND it
         # was seeded with, whatever the current config says
         self._bloom = cuckoo_ops.seen_filter_from_bytes(blob)
+        if self.config.bloom_enabled and not c.get("seen_filter_active", False):
+            # The prefilter was toggled ON across resume: the stored blob
+            # never received the crawl's wave inserts (it was staged but
+            # inactive), so trusting it would mark every already-seen URL
+            # "fresh", SKIP the exact anti-join, and re-emit the whole
+            # crawl — and requeue_expired would delete never-inserted keys
+            # (which can evict a colliding key's only copy). Rebuild the
+            # filter from the committed seen_index so inserted == seen.
+            seen = self._seen_hashes()
+            if seen is not None:
+                if isinstance(self._bloom, cuckoo_ops.ShardedCuckoo):
+                    for shard, fps, i1s in cuckoo_ops.build_shard_inserts(
+                        seen, self._bloom.n_shards, self._bloom.n_buckets
+                    ):
+                        self._bloom.insert_batch(shard, fps, i1s)
+                else:
+                    for shard, bitmap in bloom_ops.build_shard_increments(
+                        seen,
+                        self._bloom.n_shards,
+                        self._bloom.m_bits,
+                        self._bloom.k,
+                    ):
+                        self._bloom.merge_shard(shard, bitmap)
+            self.store.stage_blob("bloom", self._bloom.to_bytes(), last)
+            self.store.commit(last, counters={**c, "seen_filter_active": True})
         return last
 
     # ------------------------------------------------------------------
@@ -991,7 +1020,10 @@ class CrawlEngine:
         )
         # a frontier_add delta at superstep s+1: being a LATER add than any
         # consumption of these hashes, the composed view resurrects them
-        # (commit() carries forward all other tables from the prior manifest)
+        # (commit() carries forward all other tables from the prior manifest).
+        # rows is read up to three times (write, count, cuckoo key build) —
+        # persist so the pages-join lineage runs once.
+        rows = rows.persist()
         self.store.stage_append("frontier_add", rows, s + 1)
         n = rows.count()
         if (
@@ -1012,6 +1044,7 @@ class CrawlEngine:
             ):
                 self._bloom.delete_batch(shard, fps, i1s)
             self.store.stage_blob("bloom", self._bloom.to_bytes(), s + 1)
+        rows.unpersist()
         self._pending_count += n
         self.superstep = s + 1
         self.store.commit(s + 1, self._counters())

@@ -100,11 +100,15 @@ class ShardedCuckoo:
                 row[empty[0]] = cur
                 return
         self.stash.append((shard, cur, i))
-        if len(self.stash) == 64:
+        # loud at 64 and at EVERY power-of-two crossing after (a single
+        # warning would let a badly-undersized filter degrade silently
+        # into O(stash) scans)
+        n = len(self.stash)
+        if n >= 64 and (n & (n - 1)) == 0:
             import warnings
 
             warnings.warn(
-                f"cuckoo filter saturated (stash at {len(self.stash)}; "
+                f"cuckoo filter saturated (stash at {n}; "
                 f"load={self.fill_ratio():.2f}) — resize n_buckets or "
                 "switch the prefilter off (exact anti-join carries "
                 "correctness either way)",

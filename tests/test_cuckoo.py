@@ -157,6 +157,46 @@ def test_engine_cuckoo_crawl_matches_oracle(spark, tmp_path):
     pages.unpersist()
 
 
+def test_resume_with_prefilter_toggled_on_rebuilds_filter(spark, tmp_path):
+    # A crawl run with the prefilter OFF stages an empty, never-updated
+    # filter blob. Resuming with the prefilter ON must not trust it (every
+    # seen URL would look "fresh", skip the exact anti-join, and re-emit);
+    # resume() rebuilds the filter from seen_index so inserted == seen.
+    pages = corpus.build_pages_df(spark, 60, H, partitions=4).cache()
+    root = str(tmp_path / "st")
+    off_cfg = CrawlConfig(
+        accept=ACCEPTS, max_docs=10_000, max_connections=None,
+        bloom_enabled=False, seen_filter_kind="cuckoo",
+        cuckoo_buckets_per_shard=1 << 10,
+    )
+    eng = CrawlEngine(spark, off_cfg, SyntheticFetcher(pages), root)
+    eng.run(seeds=[corpus.url_of(0, H)], max_supersteps=40)
+    emitted = eng.emitted_count
+    seen = [
+        r["url_hash"]
+        for r in eng.store.read("seen_index").select("url_hash").distinct().collect()
+    ]
+    assert not eng._bloom.contains_hexes(seen).any()  # inactive, empty
+
+    on_cfg = CrawlConfig(
+        accept=ACCEPTS, max_docs=10_000, max_connections=None,
+        bloom_enabled=True, seen_filter_kind="cuckoo",
+        cuckoo_buckets_per_shard=1 << 10,
+    )
+    eng2 = CrawlEngine(spark, on_cfg, SyntheticFetcher(pages), root)
+    eng2.resume()
+    assert isinstance(eng2._bloom, cuckoo.ShardedCuckoo)
+    assert bool(eng2._bloom.contains_hexes(seen).all())  # rebuilt from seen
+    # continuing emits nothing new (no duplicate re-crawl)
+    eng2.run(seeds=None, max_supersteps=10)
+    assert eng2.emitted_count == emitted
+    # the rebuild is committed: a SECOND resume trusts the blob directly
+    eng3 = CrawlEngine(spark, on_cfg, SyntheticFetcher(pages), root)
+    eng3.resume()
+    assert bool(eng3._bloom.contains_hexes(seen).all())
+    pages.unpersist()
+
+
 def test_requeue_expired_forgets_in_cuckoo(spark, tmp_path):
     pages = corpus.build_pages_df(spark, 60, H, partitions=4).cache()
     cfg = CrawlConfig(
