@@ -1023,6 +1023,57 @@ SELECT probe_id, neighbor_id, rank FROM (
 """
 
 
+def q_ivf_nprobe_topk(spark, sf_dir):
+    """IVF ANN with nprobe=2 (the standard recall knob): each probe
+    searches its TWO nearest cells; the corpus stays single-cell-bucketed,
+    so the candidate set doubles on the probe side only and recall@k is
+    monotone in nprobe (similarity.ivf_topk(nprobe=...))."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").cast("long").alias("cell_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    probes = emb.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    return similarity.ivf_topk(emb, probes, cents, k=5, nprobe=2).select(
+        F.col("probe_id").cast("long").alias("probe_id"),
+        F.col("neighbor_id").cast("long").alias("neighbor_id"),
+        "rank",
+    )
+
+
+_IVF_NPROBE_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cell_id, embedding AS centroid FROM embeddings WHERE vec_id < 4
+),
+ranked AS (
+  SELECT e.vec_id AS id, e.embedding AS vec, c.cell_id,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY {similarity.cosine_sql('e.embedding', 'c.centroid')} DESC, c.cell_id
+    ) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+assign AS (
+  SELECT id, vec, cell_id FROM ranked WHERE rn = 1
+),
+probes AS (
+  SELECT id AS probe_id, vec AS probe_vec, cell_id FROM ranked
+  WHERE rn <= 2 AND id >= 8 AND id < 16
+),
+sims AS (
+  SELECT p.probe_id, a.id AS neighbor_id,
+    {similarity.cosine_sql('p.probe_vec', 'a.vec')} AS sim
+  FROM assign a JOIN probes p ON a.cell_id = p.cell_id
+  WHERE a.id != p.probe_id
+)
+SELECT probe_id, neighbor_id, rank FROM (
+  SELECT probe_id, neighbor_id,
+    row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims
+) WHERE rank <= 5
+"""
+
+
 
 def q_cosine_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup family): hyperplane
@@ -1472,6 +1523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiprobe_ann_topk": q_multiprobe_ann_topk,
         "cosine_near_dup": q_cosine_near_dup,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_nprobe_topk": q_ivf_nprobe_topk,
         "ivf_trained_topk": q_ivf_trained_topk,
         "lang_id": q_lang_id,
         "quality_score": q_quality_score,
@@ -1514,6 +1566,7 @@ def oracle_sql() -> dict[str, str]:
         "multiprobe_ann_topk": _MULTIPROBE_ANN_SQL,
         "cosine_near_dup": _COSINE_NEAR_DUP_SQL,
         "ivf_ann_topk": _IVF_ANN_SQL,
+        "ivf_nprobe_topk": _IVF_NPROBE_SQL,
         "ivf_trained_topk": _ivf_trained_oracle_sql(),
         "lang_id": _LANG_SQL,
         "quality_score": _QUALITY_SQL,

@@ -406,3 +406,41 @@ def test_duplicate_groups_and_dedup_corpus(spark):
         r["doc_id"] for r in dedup.dedup_corpus(docs, groups).collect()
     )
     assert kept == [1, 7, 9, 10]
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    """IVF nprobe knob: probing 2 cells yields candidate supersets of
+    nprobe=1 per probe, so recall vs exact brute force is monotone in
+    nprobe — and with clustered data straddling cell boundaries it must
+    strictly improve here."""
+    rng = np.random.default_rng(11)
+    dim, n = 16, 150
+    centers = rng.normal(size=(5, dim))
+    vecs = [
+        (i, (centers[i % 5] + 1.1 * rng.normal(size=dim)).astype(float).tolist())
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    probes = df.where(F.col("vec_id") < 12)
+    cents = spark.createDataFrame(
+        [(int(j), centers[j].astype(float).tolist()) for j in range(5)],
+        ["cell_id", "centroid"],
+    )
+    k = 5
+    exact = {
+        (r["probe_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(df, probes, k=k).collect()
+    }
+    got = {}
+    for nprobe in (1, 2, 5):
+        res = {
+            (r["probe_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                df, probes, cents, k=k, nprobe=nprobe
+            ).collect()
+        }
+        got[nprobe] = len(res & exact) / len(exact)
+    assert got[1] <= got[2] <= got[5]
+    # nprobe = n_cells searches everything -> exact recall
+    assert got[5] == 1.0
+    assert got[2] > got[1]
