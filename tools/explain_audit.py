@@ -342,6 +342,64 @@ def main() -> None:
         "phase-2 (host) top-k must prune map-side before its Exchange"
     )
 
+    # shard-join prefilter (the 10^10-frontier form, Bloom and cuckoo
+    # kinds): candidates cogroup with the per-shard filter table, so NO
+    # task ever holds the whole filter and there is no driver broadcast
+    # of the blob — the plan must be a FlatMapCoGroupsInPandas over two
+    # shard-hash Exchanges (one per side), with the filter side's input
+    # a tiny local table.
+    from jcrawler_spark.operators import bloom as bloom_ops
+    from jcrawler_spark.operators import cuckoo as cuckoo_ops
+
+    pf_cand = spark.range(5000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("url_hash")
+    )
+    pf_sections = []
+    for kind, mk, fn in (
+        (
+            "bloom",
+            lambda: bloom_ops.GenerationalBloom(8, 1 << 14, 3),
+            bloom_ops.prefilter_unseen_sharded,
+        ),
+        (
+            "cuckoo",
+            lambda: cuckoo_ops.ShardedCuckoo(8, 1 << 8),
+            cuckoo_ops.prefilter_unseen_sharded,
+        ),
+    ):
+        filt = mk()
+        plan = (
+            fn(pf_cand, filt)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        n_cg = len(re.findall(r"FlatMapCoGroupsInPandas", plan))
+        n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+        n_bc = len(re.findall(r"Broadcast", plan))
+        assert n_cg == 1, f"{kind} shard prefilter must cogroup: {plan}"
+        assert n_ex == 2, (
+            f"{kind} shard prefilter must shuffle exactly both cogroup "
+            f"sides by shard ({n_ex} exchanges)"
+        )
+        assert n_bc == 0, (
+            f"{kind} shard prefilter must not broadcast the filter blob"
+        )
+        pf_sections.append(
+            f"- **{kind}**: cogroups={n_cg} shard_exchanges={n_ex} "
+            f"broadcasts={n_bc}"
+        )
+        summary.append(
+            f"- **{kind}_shard_prefilter**: cogroups={n_cg} "
+            f"exchanges={n_ex} broadcasts={n_bc}"
+        )
+    out.append(
+        "## shard-join seen-prefilter (10^10 form, both kinds)\n\n"
+        "Candidates cogroup with the per-shard filter table on the shard "
+        "hash: exactly one FlatMapCoGroupsInPandas over two shard "
+        "Exchanges, zero Broadcast nodes — no task holds more than one "
+        "shard of the filter, no driver broadcast of the blob.\n\n"
+        + "\n".join(pf_sections) + "\n"
+    )
+
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
     for t in ("seen_index", "frontier_add"):
         spark.sql(f"DROP TABLE IF EXISTS {store._catalog_name(t)}")
