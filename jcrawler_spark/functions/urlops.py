@@ -128,6 +128,74 @@ def content_path_final(url: str, status: int = 200, content_type: str | None = N
     return path + ext
 
 
+# Slug.java:52-56 — legacy slug constants, verbatim
+_OLD_MAX_FS_FILENAME = 200
+_OLD_SPLIT_AT = 70
+_OLD_ABBREV_MARKER = "--and-more"
+# Java: [()\[\]{}_'"`%^+_*!×&ƒ\:? -]  (note: includes space AND hyphen)
+_OLD_NON_URL_CHARS = re.compile(r"[()\[\]{}_'\"`%^+*!×&ƒ:? -]")
+_OLD_NON_URL_PATH_CHARS = re.compile(r"[/.]")
+# Java \p{InCombiningDiacriticalMarks}: the U+0300–U+036F block exactly
+_OLD_COMBINING = re.compile("[̀-ͯ]+")
+
+
+def _abbreviate(s: str, marker: str, max_width: int) -> str:
+    """Apache Commons StringUtils.abbreviate(str, marker, maxWidth):
+    unchanged when it fits, else truncate and append the marker."""
+    if len(s) <= max_width:
+        return s
+    return s[: max_width - len(marker)] + marker
+
+
+def content_path_initial_old(url: str) -> tuple[str, str]:
+    """Slug.contentPathInitialOld (Slug.java:120-172) — the LEGACY slug
+    layout, kept so a store written by an old jcrawler cache can be
+    located/migrated. Returns (code, slug) like the Java Slug pair:
+    NFD-fold diacritics (combining-marks block stripped), host dots →
+    '--', punctuation class → '-', slashes+dots → '--', then the
+    70/--and-more/200 filename assembly with the embedded short hash and
+    the full '--sha256-<hex>' suffix + '.tmp'.
+
+    DIVERGENCE (same as url_hash): the repo's canonical sanitize
+    lowercases (SlugTest goldens win over the shipped non-lowercasing
+    urlSanitized), so code/slug for mixed-case URLs differ from the dead
+    Java path by case only."""
+    result = sanitize(url)
+    code_full = hashlib.sha256(result.encode("utf-8")).hexdigest()
+    short_code = "-#" + code_full[:9] + "-"
+    code = "--sha256-" + code_full
+    import unicodedata
+
+    result = _OLD_COMBINING.sub("", unicodedata.normalize("NFD", result))
+    extension = ""  # Slug.java:127-129 — extension split is commented out
+    protocol_ends = result.find("//")
+    first_slash = result.find("/", protocol_ends + 2)
+    if first_slash == -1:
+        result = result.replace(".", "--")
+    elif protocol_ends != -1:
+        result = (
+            result[:first_slash].replace(".", "--") + result[first_slash:]
+        )
+    result = _OLD_NON_URL_CHARS.sub("-", result)
+    result = _OLD_NON_URL_PATH_CHARS.sub("--", result)
+    max_width = (
+        _OLD_MAX_FS_FILENAME
+        - len(short_code)
+        - len(code)
+        - len(extension)
+        - _OLD_SPLIT_AT
+    )
+    slug = (
+        result[:_OLD_SPLIT_AT]
+        + short_code
+        + _abbreviate(result[_OLD_SPLIT_AT:], _OLD_ABBREV_MARKER, max_width)
+        + code
+        + extension
+        + ".tmp"
+    )
+    return code_full, slug
+
+
 def hostname(url: str) -> str | None:
     """URI.getHost() analogue (HyperLink.java:77-82)."""
     try:

@@ -205,3 +205,44 @@ def test_slug_and_paths_total(u):
     assert isinstance(urlops.slug_path(u), str)
     assert isinstance(urlops.content_path_final(u, 200, "text/html"), str)
     assert isinstance(urlops.content_path_final(u, None, None), str)
+
+
+def test_content_path_initial_old_goldens():
+    """Slug.contentPathInitialOld (Slug.java:120-172), hand-traced from the
+    Java: host dots -> '--' (whole string when no path), NFD diacritic
+    fold, punctuation class -> '-', slashes+dots -> '--', 70-char split
+    with '-#<hash9>-' insert, '--and-more' abbreviation at width 45, full
+    '--sha256-<hex>' suffix + '.tmp' (total may exceed 200 by the 4-char
+    '.tmp' — faithful to the reference's budget math)."""
+    code, slug = urlops.content_path_initial_old("https://example.com")
+    assert code == urlops.url_hash("https://example.com")
+    assert slug == f"https-----example--com-#{code[:9]}---sha256-{code}.tmp"
+
+    code2, slug2 = urlops.content_path_initial_old(
+        "https://Example.com/Path/to/File.html?q=1#frag"
+    )
+    # lowercased (repo-canonical sanitize), fragment gone, host dots '--',
+    # path separators and the file dot '--', '?' -> '-', '=' kept
+    assert slug2 == (
+        "https-----example--com--path--to--file--html-q=1"
+        f"-#{code2[:9]}---sha256-{code2}.tmp"
+    )
+
+    # NFD fold: ț (t + combining comma below, U+0326) -> t
+    code3, slug3 = urlops.content_path_initial_old(
+        "https://ro.example/legislație/articolul-5"
+    )
+    assert slug3.startswith("https-----ro--example--legislatie--articolul-5-#")
+
+    # long URL: split at 70, abbreviate the tail at width 45 with
+    # '--and-more', then the hash suffix — length is deterministic
+    code4, slug4 = urlops.content_path_initial_old(
+        "http://a.b.c/" + "x" * 150 + "/end(1).html"
+    )
+    assert slug4[70:82] == f"-#{code4[:9]}-"
+    assert "--and-more--sha256-" in slug4
+    assert len(slug4) == 70 + 12 + 45 + 73 + len(".tmp")
+
+    # short tail is NOT abbreviated
+    _, slug5 = urlops.content_path_initial_old("https://e.com/" + "y" * 60)
+    assert "--and-more" not in slug5
