@@ -1484,6 +1484,133 @@ def q_media_features(spark, sf_dir):
     return byte_f.join(dec_f, "media_id")
 
 
+def q_seed_search(spark, sf_dir):
+    """S7 search seeder, bulk form (JSeeder.java:13-43): harvest seed URLs
+    from a corpus of SERP snapshots — anchor hrefs in document order, the
+    reference's greedy ``/url?q=(https?://.+)&sa`` regex (capture runs to
+    the LAST ``&sa``). Spark side runs the shared pure harvest
+    (seeder.extract_serp_links) as an Arrow pandas_udf; the oracle is an
+    independent RE2/list-lambda re-expression in DuckDB. SERP markup is
+    synthesized from documents by identical arithmetic on both sides; the
+    doc_id%4 row pins the greedy-to-last-&sa semantics."""
+    from jcrawler_spark.operators import seeder
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "html",
+        F.concat(
+            F.lit('<html><body><a href="/url?q=https://r'),
+            F.col("doc_id").cast("string"),
+            F.lit('.example/a&sa=U&ved=0">r1</a><a href="/intl/en/about">skip</a>'),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.concat(
+                    F.lit('<a href="/url?q=https://s'),
+                    F.col("doc_id").cast("string"),
+                    F.lit('.example/p&sa=1&q=2&sa=Z">r2</a>'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit('<a href="/url?q=http://t'),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example/path-"),
+            F.col("doc_id").cast("string"),
+            F.lit('&sa=D&usg=x">r3</a></body></html>'),
+        ),
+    )
+    harvested = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(seeder.serp_links_udf(F.col("html"))).alias("pos0", "seed"),
+    )
+    return harvested.select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "seed"
+    )
+
+
+_SEED_SEARCH_HTML_SQL = (
+    "'<html><body><a href=\"/url?q=https://r' || doc_id ||"
+    " '.example/a&sa=U&ved=0\">r1</a><a href=\"/intl/en/about\">skip</a>'"
+    " || (CASE WHEN doc_id % 4 = 0 THEN"
+    " '<a href=\"/url?q=https://s' || doc_id ||"
+    " '.example/p&sa=1&q=2&sa=Z\">r2</a>' ELSE '' END)"
+    " || '<a href=\"/url?q=http://t' || (doc_id % 13) || '.example/path-'"
+    " || doc_id || '&sa=D&usg=x\">r3</a></body></html>'"
+)
+
+_SEED_SEARCH_SQL = f"""
+SELECT doc_id, CAST(generate_subscripts(seeds, 1) AS BIGINT) AS pos,
+       unnest(seeds) AS seed
+FROM (
+  SELECT doc_id,
+    list_filter(
+      list_transform(
+        regexp_extract_all(html, '<a[^>]*?href="([^"]*)"', 1),
+        h -> regexp_extract(h, '/url\\?q=(https?://.+)&sa', 1)),
+      s -> s <> '') AS seeds
+  FROM (SELECT doc_id, {_SEED_SEARCH_HTML_SQL} AS html FROM documents)
+)
+"""
+
+
+def q_content_path_initial_old(spark, sf_dir):
+    """Legacy slug migration (Slug.contentPathInitialOld, Slug.java:120-172):
+    the old cache layout's (code, slug) pair — NFD diacritics fold, host
+    dots -> '--', punctuation class -> '-', slashes+dots -> '--', then the
+    70/-#hash-/--and-more/200 filename assembly with the '--sha256-' suffix
+    + '.tmp'. Spark side is the shared pure scalar as an Arrow pandas_udf
+    (migration cold path); the oracle re-derives every step in DuckDB SQL —
+    valid because the synthesized URLs are pure ASCII, where the NFD fold
+    is the identity (unicode edges are pinned by the pytest goldens). The
+    doc_id%6 rows grow past the 70-split and the --and-more budget."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(
+            _url_col(),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.concat(
+                    F.lit("/sub/"),
+                    F.repeat(F.lit("ab.c-"), (F.col("doc_id") % 23).cast("int")),
+                    F.lit("end"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    pair = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        urlops.content_path_initial_old_udf(F.col("url")).alias("p"),
+    )
+    return pair.select("doc_id", F.col("p.code").alias("code"), F.col("p.slug").alias("slug"))
+
+
+_LEGACY_URL_SQL = (
+    f"{_URL_SQL} || (CASE WHEN doc_id % 6 = 0 THEN"
+    " '/sub/' || repeat('ab.c-', doc_id % 23) || 'end' ELSE '' END)"
+)
+
+# Slug.java:120-172 re-derived step-by-step; ASCII input => NFD fold is a
+# no-op, so every remaining step is pure string algebra DuckDB can run.
+_CPIO_SQL = f"""
+WITH u AS (SELECT doc_id, {_LEGACY_URL_SQL} AS url FROM documents),
+s AS (SELECT doc_id, lower(regexp_replace(url, '#.*$', '')) AS r FROM u),
+h AS (SELECT doc_id, r, sha256(r) AS code_full,
+             regexp_extract(r, '^[a-z]+://[^/]*', 0) AS prefix
+      FROM s),
+t AS (SELECT doc_id, code_full,
+        regexp_replace(
+          regexp_replace(
+            replace(prefix, '.', '--') || substr(r, length(prefix) + 1),
+            '[()\\[\\]{{}}_''"`%^+*!×&ƒ:? -]', '-', 'g'),
+          '[/.]', '--', 'g') AS folded
+      FROM h)
+SELECT doc_id, code_full AS code,
+  substr(folded, 1, 70)
+  || '-#' || substr(code_full, 1, 9) || '-'
+  || (CASE WHEN length(substr(folded, 71)) <= 45 THEN substr(folded, 71)
+      ELSE substr(folded, 71, 35) || '--and-more' END)
+  || '--sha256-' || code_full || '.tmp' AS slug
+FROM t
+"""
+
+
 # ---------------------------------------------------------------------------
 # the contract
 # ---------------------------------------------------------------------------
@@ -1531,6 +1658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "normalize_html": q_normalize_html,
         "page_diff": q_page_diff,
+        "seed_search": q_seed_search,
+        "content_path_initial_old": q_content_path_initial_old,
         "crawl_wave": q_crawl_wave,
         "crawl_emission": q_crawl_emission,
         "media_features": q_media_features,
@@ -1574,6 +1703,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _FINGERPRINT_SQL,
         "normalize_html": _normalize_html_oracle_sql(),
         "page_diff": _page_diff_oracle_sql(),
+        "seed_search": _SEED_SEARCH_SQL,
+        "content_path_initial_old": _CPIO_SQL,
         "crawl_wave": _CRAWL_WAVE_SQL,
         "crawl_emission": _CRAWL_EMISSION_SQL,
         "media_features": _MEDIA_SQL,

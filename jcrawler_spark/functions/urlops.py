@@ -302,3 +302,40 @@ def unsupported_protocol_col(url: Column) -> Column:
     return F.lower(url).rlike(
         r"^(tel|mailto|javascript|data|blob|file|ftp|ssh|git):"
     )
+
+
+# ---------------------------------------------------------------------------
+# Legacy migration Arrow surface
+# ---------------------------------------------------------------------------
+#
+# content_path_initial_old needs an NFD fold (no Column form exists), so the
+# bulk migration path is an Arrow pandas_udf over the shared pure scalar —
+# the declared-UDF pattern (extract/htmlnorm/pagediff).  Migration is a
+# one-shot cold path: an embarrassingly parallel map, no shuffle, correct
+# for unicode hosts/paths, not a hot-loop surface.
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+
+def _legacy_slug_udf():
+
+    struct = T.StructType(
+        [
+            T.StructField("code", T.StringType()),
+            T.StructField("slug", T.StringType()),
+        ]
+    )
+
+    @F.pandas_udf(struct)
+    def content_path_initial_old_udf(url: pd.Series) -> pd.DataFrame:
+        rows = [
+            (None, None) if u is None else content_path_initial_old(u)
+            for u in url
+        ]
+        return pd.DataFrame(rows, columns=["code", "slug"])
+
+    return content_path_initial_old_udf
+
+
+content_path_initial_old_udf = _legacy_slug_udf()

@@ -84,3 +84,25 @@ def seed_from_search(
     url = serp_url(query, count, base)
     html = (fetch_fn or _default_fetch)(url, USER_AGENT)
     return extract_serp_links(html)
+
+
+# ---------------------------------------------------------------------------
+# Bulk Spark surface: harvest a TABLE of SERP snapshots
+# ---------------------------------------------------------------------------
+#
+# The reference seeds one crawl from one live SERP; at pipeline scale the
+# same harvest runs over a corpus of archived SERP pages (one row per
+# snapshot).  ``serp_links_udf`` applies the identical pure harvest —
+# anchor hrefs in document order, the greedy JSeeder regex — as an Arrow
+# pandas_udf (the declared-UDF pattern shared with extract/htmlnorm/
+# pagediff): embarrassingly parallel map, bytes never leave executors,
+# no shuffle.
+
+import pandas as _pd  # noqa: E402
+from pyspark.sql import functions as _SF  # noqa: E402
+from pyspark.sql import types as _ST  # noqa: E402
+
+
+@_SF.pandas_udf(_ST.ArrayType(_ST.StringType()))
+def serp_links_udf(html: _pd.Series) -> _pd.Series:
+    return html.map(lambda h: extract_serp_links(h) if h is not None else None)

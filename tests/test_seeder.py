@@ -105,3 +105,26 @@ def test_seeds_feed_the_engine(spark, serp_server, tmp_path):
     st = eng.step()  # seeds fetch as 404s (not in corpus) without error
     assert st is not None and st.wave == len(seeds)
     pages.unpersist()
+
+
+def test_serp_links_udf_bulk_harvest(spark):
+    # Arrow surface over a SERP-snapshot table: same harvest as the pure
+    # function, document order preserved, greedy-to-last-&sa semantics.
+    from pyspark.sql import functions as F
+
+    html = (
+        '<a href="/url?q=https://a.example/p&sa=1&q=2&sa=Z">g</a>'
+        "<a href='/url?q=http://b.example/&sa=D'>s</a>"
+        '<a href="/skip">n</a>'
+    )
+    df = spark.createDataFrame([(1, html), (2, None)], "id int, html string")
+    rows = (
+        df.select("id", seeder.serp_links_udf(F.col("html")).alias("seeds"))
+        .orderBy("id")
+        .collect()
+    )
+    assert rows[0].seeds == [
+        "https://a.example/p&sa=1&q=2",
+        "http://b.example/",
+    ]
+    assert rows[1].seeds is None

@@ -246,3 +246,28 @@ def test_content_path_initial_old_goldens():
     # short tail is NOT abbreviated
     _, slug5 = urlops.content_path_initial_old("https://e.com/" + "y" * 60)
     assert "--and-more" not in slug5
+
+
+def test_content_path_initial_old_udf_matches_scalar(spark):
+    # Arrow migration surface == the golden-pinned pure scalar, incl. a
+    # diacritics URL (NFD fold happens executor-side) and NULL passthrough.
+    from pyspark.sql import functions as F
+
+    urls = [
+        "https://example.com",
+        "https://legislatie.just.ro/Public/DetaliiDocument/123",
+        "https://ex.com/café-menü?x=1#f",
+        "https://e.com/" + "y" * 60,
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)] + [(99, None)], "i int, url string"
+    )
+    got = {
+        r.i: (r.p.code, r.p.slug)
+        for r in df.select(
+            "i", urlops.content_path_initial_old_udf(F.col("url")).alias("p")
+        ).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == urlops.content_path_initial_old(u)
+    assert got[99] == (None, None)
