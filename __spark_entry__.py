@@ -541,6 +541,77 @@ SELECT id AS doc_id, min(depth) AS depth FROM r GROUP BY id
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """Frontier-prioritization PageRank over the same synthetic link graph
+    as bfs_reachability (K=3 tree + cross-links): 8 power iterations,
+    damping 0.85, dangling mass shared uniformly (operators/graph.pagerank
+    — the scheduler input for authority-ordered politeness waves). The
+    oracle is the identical recurrence unrolled into 8 DuckDB CTE stages;
+    ranks rounded to 8 decimals on both sides (sum-order ulp)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    tree = None
+    for j in (1, 2, 3):
+        e = ids.select(
+            F.col("doc_id").alias("src"), (F.col("doc_id") * 3 + j).alias("dst")
+        ).where(F.col("dst") < n)
+        tree = e if tree is None else tree.unionByName(e)
+    cross = ids.where(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7) % n).alias("dst")
+    )
+    edges = tree.unionByName(cross)
+    ranks = graph.pagerank(edges, ids, n_iter=8, damping=0.85)
+    return ranks.select("doc_id", F.round("rank", 8).alias("rank_r8"))
+
+
+def _pagerank_oracle_sql(n_iter: int = 8) -> str:
+    """The pagerank recurrence unrolled: one (dangling, contrib, ranks)
+    CTE triple per iteration — independent DuckDB arithmetic over the
+    same synthesized edge list as _BFS_SQL. Every CTE is MATERIALIZED:
+    DuckDB inlines CTEs by default, and pr{k-1} is referenced 3x per
+    iteration, so inlining is a 3^n_iter plan blowup (measured: 211 s
+    inlined vs 0.1 s materialized at n_iter=8)."""
+    parts = [
+        """
+WITH edges AS MATERIALIZED (
+  SELECT doc_id AS src, doc_id*3 + j AS dst
+  FROM documents, unnest([1,2,3]) t(j)
+  WHERE doc_id*3 + j < (SELECT count(*) FROM documents)
+  UNION ALL
+  SELECT doc_id, (doc_id*7) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 10 = 3
+),
+nodes AS MATERIALIZED (SELECT CAST(doc_id AS BIGINT) AS id FROM documents),
+nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS MATERIALIZED (
+  SELECT src, CAST(count(*) AS DOUBLE) AS outd FROM edges GROUP BY src),
+pr0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for k in range(1, n_iter + 1):
+        parts.append(
+            f""",
+d{k} AS MATERIALIZED (SELECT COALESCE(SUM(p.rank), 0) AS dangling
+         FROM pr{k - 1} p LEFT JOIN deg ON deg.src = p.id
+         WHERE deg.src IS NULL),
+c{k} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.rank / dg.outd) AS s
+         FROM pr{k - 1} p
+         JOIN edges e ON e.src = p.id
+         JOIN deg dg ON dg.src = e.src
+         GROUP BY e.dst),
+pr{k} AS MATERIALIZED (SELECT nodes.id,
+            (1 - 0.85)/(SELECT n FROM nn)
+            + 0.85 * (COALESCE(c.s, 0)
+                      + (SELECT dangling FROM d{k})/(SELECT n FROM nn)) AS rank
+          FROM nodes LEFT JOIN c{k} c ON c.id = nodes.id)"""
+        )
+    parts.append(
+        f"""
+SELECT id AS doc_id, round(rank, 8) AS rank_r8 FROM pr{n_iter}"""
+    )
+    return "".join(parts)
+
+
 def q_content_path_final(spark, sf_dir):
     """Slug.contentPathFinal (Slug.java:88-110): status-aware final path
     with content-type extension."""
@@ -1637,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_window": q_politeness_window,
         "failing_host_gate": q_failing_host_gate,
         "bfs_reachability": q_bfs_reachability,
+        "pagerank": q_pagerank,
         "content_path_final": q_content_path_final,
         "localize_join": q_localize_join,
         "dedup_exact": q_dedup_exact,
@@ -1682,6 +1754,7 @@ def oracle_sql() -> dict[str, str]:
         "politeness_window": _POLITENESS_SQL,
         "failing_host_gate": _FAILING_GATE_SQL,
         "bfs_reachability": _BFS_SQL,
+        "pagerank": _pagerank_oracle_sql(),
         "content_path_final": _CPF_SQL,
         "localize_join": _LOCALIZE_SQL,
         "dedup_exact": _DEDUP_EXACT_SQL,

@@ -188,6 +188,7 @@ def main() -> None:
         "ivf_ann_topk",
         "multiprobe_ann_topk",
         "bfs_reachability",
+        "pagerank",
         "token_count",
         "quality_score",
         "dedup_exact",

@@ -80,3 +80,76 @@ def link_graph_from_pages(pages: DataFrame) -> DataFrame:
             F.col("l.order_in_page").alias("order_in_page"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    n_iter: int = 8,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frontier-prioritization rank over the memoized link graph — the
+    classic power iteration (Page et al. 1999), the scheduler's input when
+    a crawl orders its politeness waves by authority instead of BFS depth
+    (the reference crawls purely by depth, JCrawler.java:568-574; rank
+    ordering is a scale-tier addition like T3's parallel BFS).
+
+    Semantics (documented, pinned by the DuckDB oracle): ranks start at
+    1/N; each iteration redistributes rank/out_degree along edges
+    (parallel edges count separately), dangling mass (nodes with no
+    out-edges) is shared uniformly, and every node gets the
+    (1-damping)/N base:  r' = (1-d)/N + d*(in_contrib + dangling/N).
+
+    Scale shape: per iteration exactly one join shuffle on ``src`` and one
+    groupBy shuffle on ``dst`` — both O(edges), never O(nodes^2); the
+    degree-annotated edge list is computed once and persisted; ranks are
+    localCheckpoint-ed every iteration so the loop's plan stays O(1) per
+    superstep (same cut as bfs_min_depth). Skewed mega-hubs are AQE's
+    skew-join case; nothing collects to the driver but the node count —
+    the dangling mass stays in-plan as a broadcast 1-row aggregate, so
+    each iteration is exactly one Spark job."""
+    n = nodes.count()
+    ids = nodes.select(F.col(id_col).cast("long").alias("id"))
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("outd"))
+    e_deg = e.join(deg, "src").persist()
+    e_deg.count()  # materialize once; every iteration reuses it
+    base = (1.0 - damping) / n
+    ranks = ids.withColumn("rank", F.lit(1.0 / n)).persist()
+    for _ in range(n_iter):
+        dang = (
+            ranks.join(deg, ranks["id"] == deg["src"], "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
+        )
+        contrib = (
+            ranks.join(e_deg, ranks["id"] == e_deg["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outd")).alias("s"))
+        )
+        new_ranks = (
+            ids.crossJoin(F.broadcast(dang))
+            .join(contrib, ids["id"] == contrib["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("s"), F.lit(0.0))
+                        + F.col("dangling") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        new_ranks = new_ranks.localCheckpoint(eager=True)
+        ranks.unpersist()
+        ranks = new_ranks
+    e_deg.unpersist()
+    return ranks.select(F.col("id").alias(id_col), "rank")

@@ -71,3 +71,35 @@ def test_spark_build_matches_local(spark):
         assert g["text"] == e["text"]
         assert g["status"] == e["status"]
         assert g["url_hash"] == e["url_hash"]
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    # operators/graph.pagerank == the same recurrence in dense numpy:
+    # r' = (1-d)/N + d*(M r + dangling/N), parallel edges count separately.
+    import numpy as np
+
+    from jcrawler_spark.operators import graph
+
+    n = 12
+    edges_py = [(i, (i * 3 + 1) % n) for i in range(n) if i % 4 != 3]
+    edges_py += [(0, 5), (0, 5), (7, 2)]  # parallel edge: counts twice
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    got = {
+        r.doc_id: r.rank
+        for r in graph.pagerank(edges, nodes, n_iter=10, damping=0.85).collect()
+    }
+
+    M = np.zeros((n, n))
+    outd = np.zeros(n)
+    for s, _ in edges_py:
+        outd[s] += 1
+    for s, d in edges_py:
+        M[d, s] += 1.0 / outd[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(10):
+        dangling = r[outd == 0].sum()
+        r = (1 - 0.85) / n + 0.85 * (M @ r + dangling / n)
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
