@@ -209,6 +209,8 @@ class CrawlEngine:
         self._pending_count = 0
         self._any_host_errors = False
         self._rank_cache: DataFrame | None = None
+        # opt-in authority-ordered scheduling (set_priority_scores)
+        self._priority_scores: DataFrame | None = None
         # seen-prefilter (GenerationalBloom or ShardedCuckoo by
         # config.seen_filter_kind — same facade, same blob slot)
         self._bloom: (
@@ -1050,6 +1052,23 @@ class CrawlEngine:
         self.store.commit(s + 1, self._counters())
         return n
 
+    def set_priority_scores(self, scores: DataFrame) -> None:
+        """Authority-ordered scheduling (opt-in, beyond the reference's
+        depth-FIFO): `scores` is a (url_hash, score) table — typically
+        operators/graph.pagerank over a prior crawl's memoized link graph,
+        keyed through url_hash — and newly discovered frontier rows take
+        priority = -score, so the politeness wave selection (which orders
+        by (priority, order_key)) fetches high-authority URLs first within
+        every budget. Unscored URLs keep priority = depth (the BFS
+        default), and when never called the pipeline is bit-identical to
+        the oracle-pinned reference ordering. At 10^10-frontier scale pass
+        a table bucketed on url_hash so the per-superstep lookup join is
+        one-sided (wave-side shuffle only) — the same shape as the seen
+        anti-join."""
+        self._priority_scores = scores.select(
+            "url_hash", F.col("score").cast("double").alias("_prio_score")
+        )
+
     def _rank_new(self, cand: DataFrame, s: int) -> tuple[DataFrame, int]:
         """Deterministic FIFO order_keys for newly discovered URLs by
         (parent order, in-page order): range-partitioned Arrow rank
@@ -1062,12 +1081,19 @@ class CrawlEngine:
         if self._rank_cache is not None:
             self._rank_cache.unpersist()
         self._rank_cache = cache
+        if self._priority_scores is not None:
+            ranked = ranked.join(self._priority_scores, "url_hash", "left")
+            priority = F.coalesce(
+                -F.col("_prio_score"), F.col("depth").cast("double")
+            )
+        else:
+            priority = F.col("depth").cast("double")
         df = ranked.select(
             "url",
             "url_hash",
             urlops.host_col(F.col("url")).alias("host"),
             F.col("depth").cast("int").alias("depth"),
-            F.col("depth").cast("double").alias("priority"),
+            priority.alias("priority"),
             "is_resource",
             "is_redirect",
             "src_url",

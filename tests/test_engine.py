@@ -280,3 +280,45 @@ def test_dfs_two_path_rediscovery_single_visit(spark, tmp_path):
     eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages), root)
     eng.run(seeds=[a], max_supersteps=10)
     assert eng.emitted_urls() == [a, b, c]  # C exactly once, under B
+
+
+def test_priority_scores_reorder_waves(spark, pages_df, pages_local, tmp_path):
+    """Authority-ordered scheduling (set_priority_scores): with a score on
+    one late-FIFO child of the seed, that child is fetched FIRST after the
+    seed (priority=-score beats every depth priority at wave_budget=1);
+    unscored URLs keep the depth-FIFO order, and the visited SET is
+    unchanged vs the default crawl."""
+    seed = _seeds()[0]
+    fifo = fifo_bfs_oracle(pages_local, _seeds(), _accept_set(), max_docs=12)
+    children = [
+        l["url"]
+        for l in _links_of(pages_local[seed], seed, 0)
+        if l["url"] in set(fifo)
+    ]
+    assert len(children) >= 2
+    target = children[-1]
+    assert fifo[1] != target  # default FIFO would fetch someone else first
+
+    cfg = CrawlConfig(
+        accept=ACCEPTS,
+        max_docs=12,
+        wave_budget=1,
+        max_connections=None,
+        bloom_enabled=False,
+    )
+    scores = spark.createDataFrame(
+        [(urlops.url_hash(target), 10.0)], "url_hash string, score double"
+    )
+    eng = CrawlEngine(
+        spark, cfg, SyntheticFetcher(pages_df), str(tmp_path / "prio")
+    )
+    eng.set_priority_scores(scores)
+    eng.run(seeds=_seeds(), max_supersteps=40)
+    emitted = eng.emitted_urls()
+    assert emitted[0] == seed
+    assert emitted[1] == target
+    # the score only reorders the schedule — the crawl still fills its
+    # budget exactly once per URL (under truncation the emitted SET may
+    # legitimately differ from FIFO's, since order decides which 12 fit)
+    assert len(emitted) == 12
+    assert len(emitted) == len(set(emitted))
