@@ -78,6 +78,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "bucketed exact anti-join is the measured-fastest "
                         "gate — BENCH/BASELINE.md 'Bloom prefilter policy'; "
                         "cuckoo additionally forgets expiry-requeued URLs)")
+    p.add_argument("--priority-scores", default=None, metavar="PARQUET",
+                   help="opt-in authority-ordered scheduling: a parquet "
+                        "table (url_hash, score) — e.g. graph.pagerank over "
+                        "a prior crawl's link graph — reorders each wave to "
+                        "fetch high-score URLs first; unscored URLs keep "
+                        "the depth-FIFO default")
     return p
 
 
@@ -127,6 +133,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         ),
     )
     eng = CrawlEngine(spark, cfg, fetcher, args.state)
+    if args.priority_scores:
+        eng.set_priority_scores(spark.read.parquet(args.priority_scores))
     if args.resume:
         eng.resume()
         requeued = eng.requeue_expired()  # --expire horizon on the logical clock

@@ -324,3 +324,64 @@ def test_link_graph_from_memoized_pages(spark, tmp_path):
     b = {(r["src_url"], r["dst_url"]) for r in reex.collect()}
     assert a == b and len(a) > 50
     pages_src.unpersist()
+
+
+def test_cli_priority_scores_flag(spark, tmp_path):
+    """--priority-scores wires a (url_hash, score) parquet into
+    engine.set_priority_scores: the scored URL is fetched first after the
+    seed (wave_budget via --maxConnections 1)."""
+    import main as cli
+
+    from jcrawler_spark.engine import CrawlEngine, SyntheticFetcher
+    from jcrawler_spark.config import CrawlConfig
+    from jcrawler_spark.functions import urlops
+    from jcrawler_spark.plans.tableio import SnapshotStore
+
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write_pages(spark, corpus_path, N, H, partitions=4)
+
+    # baseline FIFO order to pick a late depth-1 target
+    st0 = str(tmp_path / "st0")
+    eng0 = CrawlEngine(
+        spark,
+        CrawlConfig(
+            accept=[f"host{i}.example" for i in range(H)],
+            max_docs=10,
+            max_connections=1,
+        ),
+        SyntheticFetcher(spark.read.parquet(corpus_path)),
+        st0,
+    )
+    eng0.run(seeds=[corpus.url_of(0, H)], max_supersteps=12)
+    base_order = eng0.emitted_urls()
+    assert len(base_order) >= 4
+    target = base_order[3]  # fetched 4th by default
+
+    scores_path = str(tmp_path / "scores")
+    spark.createDataFrame(
+        [(urlops.url_hash(target), 99.0)], "url_hash string, score double"
+    ).write.parquet(scores_path)
+
+    state = str(tmp_path / "state_prio")
+    rc = cli.main(
+        [
+            corpus.url_of(0, H),
+            *[x for i in range(H) for x in ("--accept", f"host{i}.example")],
+            "--corpus", corpus_path,
+            "--state", state,
+            "--maxDocs", "10",
+            "--maxConnections", "1",
+            "--max-supersteps", "12",
+            "--priority-scores", scores_path,
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    # mirror engine.emitted()'s BFS ordering: (superstep, order_key)
+    pages = SnapshotStore(state, spark).read("pages")
+    emitted = [
+        r.url
+        for r in pages.orderBy("superstep", "order_key").select("url").collect()
+    ]
+    assert emitted[0] == base_order[0]
+    assert emitted[1] == target
