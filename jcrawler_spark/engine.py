@@ -1064,10 +1064,12 @@ class CrawlEngine:
         the oracle-pinned reference ordering. At 10^10-frontier scale pass
         a table bucketed on url_hash so the per-superstep lookup join is
         one-sided (wave-side shuffle only) — the same shape as the seen
-        anti-join."""
+        anti-join. url_hash must be unique per row (pagerank output is); a
+        duplicate would fan out frontier rows in the lookup join and break
+        exactly-once, so duplicates are defensively dropped here."""
         self._priority_scores = scores.select(
             "url_hash", F.col("score").cast("double").alias("_prio_score")
-        )
+        ).dropDuplicates(["url_hash"])
 
     def _rank_new(self, cand: DataFrame, s: int) -> tuple[DataFrame, int]:
         """Deterministic FIFO order_keys for newly discovered URLs by

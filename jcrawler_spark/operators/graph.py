@@ -113,43 +113,51 @@ def pagerank(
     each iteration is exactly one Spark job."""
     n = nodes.count()
     ids = nodes.select(F.col(id_col).cast("long").alias("id"))
+    if n == 0:
+        return ids.withColumn("rank", F.lit(0.0)).select(
+            F.col("id").alias(id_col), "rank"
+        )
     e = edges.select(
         F.col(src_col).cast("long").alias("src"),
         F.col(dst_col).cast("long").alias("dst"),
     )
-    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("outd"))
+    # deg (one row per node with out-links) feeds the per-iteration
+    # dangling anti-join; persisting it avoids re-shuffling the edge list
+    # every iteration. e_deg is the degree-annotated edge list contrib uses.
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("outd")).persist()
     e_deg = e.join(deg, "src").persist()
-    e_deg.count()  # materialize once; every iteration reuses it
     base = (1.0 - damping) / n
-    ranks = ids.withColumn("rank", F.lit(1.0 / n)).persist()
-    for _ in range(n_iter):
-        dang = (
-            ranks.join(deg, ranks["id"] == deg["src"], "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
-        )
-        contrib = (
-            ranks.join(e_deg, ranks["id"] == e_deg["src"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("rank") / F.col("outd")).alias("s"))
-        )
-        new_ranks = (
-            ids.crossJoin(F.broadcast(dang))
-            .join(contrib, ids["id"] == contrib["dst"], "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("s"), F.lit(0.0))
-                        + F.col("dangling") / F.lit(float(n))
-                    )
-                ).alias("rank"),
+    # each iteration's result is localCheckpoint-ed (stored partitions +
+    # lineage cut), so no persist/unpersist chain is needed on the ranks
+    ranks = ids.withColumn("rank", F.lit(1.0 / n))
+    try:
+        for _ in range(n_iter):
+            dang = (
+                ranks.join(deg, ranks["id"] == deg["src"], "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling"))
             )
-            .persist()
-        )
-        new_ranks = new_ranks.localCheckpoint(eager=True)
-        ranks.unpersist()
-        ranks = new_ranks
-    e_deg.unpersist()
+            contrib = (
+                ranks.join(e_deg, ranks["id"] == e_deg["src"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("rank") / F.col("outd")).alias("s"))
+            )
+            ranks = (
+                ids.crossJoin(F.broadcast(dang))
+                .join(contrib, ids["id"] == contrib["dst"], "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(base)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("s"), F.lit(0.0))
+                            + F.col("dangling") / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        e_deg.unpersist()
+        deg.unpersist()
     return ranks.select(F.col("id").alias(id_col), "rank")
