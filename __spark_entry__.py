@@ -1555,6 +1555,83 @@ def q_media_features(spark, sf_dir):
     return byte_f.join(dec_f, "media_id")
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC ingest source (sources/warc.py): the batch-input analogue of the
+    reference's live fetch (JCrawler.java:1271-1340) for Common-Crawl-style
+    archives. The first 200 documents are serialized into 4 per-record-
+    gzipped WARC/1.0 files (deterministic writer; warcinfo + request records
+    interleaved so the reader proves it skips non-response types), read back
+    DISTRIBUTED via binaryFile + Arrow mapInPandas, and projected. Oracle:
+    the same rows straight off the documents table — a genuine round trip
+    against an independent source of truth, byte-identical body included.
+    warc_ts is compared as a formatted string so the check is
+    session-timezone-invariant (naive write → naive format)."""
+    import datetime as _dt
+    import os
+    import shutil
+    import tempfile
+
+    from jcrawler_spark.sources import warc as warcmod
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(200)
+        .select("doc_id", "text")
+        .collect()  # 200 rows, contract fixture synthesis only
+    )
+    epoch = _dt.datetime(2023, 11, 14, 22, 13, 20)
+    root = tempfile.mkdtemp(prefix="jcrawler-warc-")
+    try:
+        per = (len(docs) + 3) // 4
+        for fi in range(4):
+            recs = [
+                {
+                    "url": (
+                        f"https://warc{r['doc_id'] % 8}.example/d/{r['doc_id']}"
+                    ),
+                    "body": r["text"].encode("utf-8"),
+                    "date": epoch + _dt.timedelta(seconds=int(r["doc_id"])),
+                }
+                for r in docs[fi * per : (fi + 1) * per]
+            ]
+            with open(os.path.join(root, f"part-{fi}.warc.gz"), "wb") as f:
+                f.write(warcmod.build_warc(recs, with_requests=True))
+        rows = (
+            warcmod.read_warc(spark, root)
+            .select(
+                "url",
+                F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias(
+                    "warc_ts_s"
+                ),
+                "status",
+                "content_type",
+                F.decode("html", "UTF-8").alias("text"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "url string, warc_ts_s string, status int, content_type string, "
+        "text string",
+    )
+
+
+_WARC_ROUNDTRIP_SQL = """
+SELECT
+  'https://warc' || CAST(doc_id % 8 AS VARCHAR) || '.example/d/'
+      || CAST(doc_id AS VARCHAR) AS url,
+  strftime(TIMESTAMP '2023-11-14 22:13:20' + to_seconds(doc_id),
+           '%Y-%m-%d %H:%M:%S') AS warc_ts_s,
+  200 AS status,
+  'text/html; charset=utf-8' AS content_type,
+  text
+FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200)
+"""
+
+
 def q_seed_search(spark, sf_dir):
     """S7 search seeder, bulk form (JSeeder.java:13-43): harvest seed URLs
     from a corpus of SERP snapshots — anchor hrefs in document order, the
@@ -1735,6 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_wave": q_crawl_wave,
         "crawl_emission": q_crawl_emission,
         "media_features": q_media_features,
+        "warc_roundtrip": q_warc_roundtrip,
     }
 
 
@@ -1781,4 +1859,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_wave": _CRAWL_WAVE_SQL,
         "crawl_emission": _CRAWL_EMISSION_SQL,
         "media_features": _MEDIA_SQL,
+        "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
     }

@@ -1,0 +1,395 @@
+"""WARC ingest source: distributed Common-Crawl-style WARC → pages rows.
+
+The reference acquires pages by live HTTP fetch (JCrawler.java:1271-1340)
+and persists them to its slug-path disk cache; the batch-analytics analogue
+at 10^10-URL scale is ingesting pre-crawled web archives — Common Crawl
+ships them as WARC/1.0 files (ISO 28500): concatenated records, each
+usually an independent gzip member, ~1 GB per file. This module parses
+that format into the authoritative input table shape
+``pages(url, warc_ts, html, text, lang, ...)`` (schemas.PAGES), so a crawl
+can be seeded/resumed from an archive instead of the network
+(CachedFetcher over the result gives replay crawls, operators/fetch.py).
+
+Scale shape: the unit of parallelism is the WARC *file* —
+``spark.read.format("binaryFile")`` gives one task per file, the standard
+Common-Crawl processing layout (gzip members are not splittable without an
+index; 100 TB ≈ 100k files ≫ cores, so file-granularity keeps every
+executor busy). Each task holds ONE decompressed file at a time and emits
+records via Arrow-batched ``mapInPandas`` — bytes never visit the driver.
+Derived columns (host, url_hash, fetch_ts) are added JVM-side with the
+urlops Column helpers; text/lang stay NULL for the extraction operators.
+
+The parser is record-exact: WARC header block, ``Content-Length``-bounded
+content block, the mandatory CRLF CRLF record separator, multi-member gzip,
+and the embedded HTTP response (status line, headers, optional chunked
+transfer-encoding). Malformed input raises loudly with the byte offset —
+a truncated archive must never silently drop tail records.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import gzip
+import hashlib
+import io
+import uuid
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jcrawler_spark.functions import urlops
+
+_CRLF = b"\r\n"
+_WARC_DATE_FMT = "%Y-%m-%dT%H:%M:%SZ"
+
+# urn:uuid namespace for deterministic record ids (uuid5 of url|date) —
+# deterministic so the writer is reproducible for goldens/oracles.
+_RECORD_NS = uuid.UUID("6ba7b811-9dad-11d1-80b4-00c04fd430c8")  # uuid URL ns
+
+
+# ---------------------------------------------------------------------------
+# writer (test/fixture synthesis — also what the contract oracle pins)
+# ---------------------------------------------------------------------------
+
+def build_record(
+    record_type: str,
+    content_type: str,
+    block: bytes,
+    *,
+    target_uri: str | None = None,
+    date: _dt.datetime | None = None,
+) -> bytes:
+    """Serialize one WARC/1.0 record (headers + block + separator)."""
+    date = date or _dt.datetime(2000, 1, 1)
+    rid = uuid.uuid5(_RECORD_NS, f"{record_type}|{target_uri}|{date.isoformat()}")
+    headers = [
+        b"WARC/1.0",
+        b"WARC-Type: " + record_type.encode("ascii"),
+        b"WARC-Record-ID: <urn:uuid:" + str(rid).encode("ascii") + b">",
+        b"WARC-Date: " + date.strftime(_WARC_DATE_FMT).encode("ascii"),
+    ]
+    if target_uri is not None:
+        headers.append(b"WARC-Target-URI: " + target_uri.encode("utf-8"))
+    headers.append(b"Content-Type: " + content_type.encode("ascii"))
+    headers.append(b"Content-Length: " + str(len(block)).encode("ascii"))
+    return _CRLF.join(headers) + _CRLF + _CRLF + block + _CRLF + _CRLF
+
+
+def build_http_response(
+    body: bytes,
+    status: int = 200,
+    content_type: str = "text/html; charset=utf-8",
+    location: str | None = None,
+) -> bytes:
+    """Serialize the HTTP response block a 'response' record wraps."""
+    reason = {200: "OK", 301: "Moved Permanently", 404: "Not Found"}.get(
+        status, "Status"
+    )
+    lines = [
+        f"HTTP/1.1 {status} {reason}".encode("ascii"),
+        b"Content-Type: " + content_type.encode("ascii"),
+        b"Content-Length: " + str(len(body)).encode("ascii"),
+    ]
+    if location is not None:
+        lines.append(b"Location: " + location.encode("utf-8"))
+    return _CRLF.join(lines) + _CRLF + _CRLF + body
+
+
+def build_warc(
+    pages: list[dict],
+    *,
+    gzip_per_record: bool = True,
+    warcinfo: bool = True,
+    with_requests: bool = False,
+) -> bytes:
+    """Build a deterministic WARC file (bytes) from page dicts with keys
+    ``url``, ``body`` (bytes), optional ``date``/``status``/``content_type``/
+    ``location``. Per-record gzip members by default (the Common Crawl
+    layout); ``warcinfo``/``with_requests`` interleave the non-response
+    record types a real archive carries (the reader must skip them)."""
+    records: list[bytes] = []
+    if warcinfo:
+        info = b"software: jcrawler-spark-synthetic\r\n"
+        records.append(
+            build_record("warcinfo", "application/warc-fields", info)
+        )
+    for p in pages:
+        date = p.get("date") or _dt.datetime(2000, 1, 1)
+        if with_requests:
+            req = (
+                b"GET / HTTP/1.1\r\nHost: x\r\n\r\n"
+            )
+            records.append(
+                build_record(
+                    "request",
+                    "application/http; msgtype=request",
+                    req,
+                    target_uri=p["url"],
+                    date=date,
+                )
+            )
+        http = build_http_response(
+            p["body"],
+            status=p.get("status", 200),
+            content_type=p.get("content_type", "text/html; charset=utf-8"),
+            location=p.get("location"),
+        )
+        records.append(
+            build_record(
+                "response",
+                "application/http; msgtype=response",
+                http,
+                target_uri=p["url"],
+                date=date,
+            )
+        )
+    if not gzip_per_record:
+        return b"".join(records)
+    out = io.BytesIO()
+    for rec in records:
+        # mtime=0 keeps the member bytes deterministic
+        out.write(gzip.compress(rec, compresslevel=6, mtime=0))
+    return out.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Decompress ALL concatenated gzip members (zlib stops at member
+    boundaries; Common Crawl writes one member per record)."""
+    out = io.BytesIO()
+    rest = data
+    while rest:
+        d = zlib.decompressobj(wbits=31)
+        out.write(d.decompress(rest))
+        out.write(d.flush())
+        if not d.eof:
+            raise ValueError(
+                "truncated gzip member in WARC stream "
+                f"({len(rest)} bytes remaining)"
+            )
+        rest = d.unused_data
+    return out.getvalue()
+
+
+def _parse_headers(head: bytes) -> dict[str, str]:
+    """Parse WARC or HTTP header lines (after the version/status line) into
+    a lower-cased dict. No continuation-line support — neither WARC writers
+    in the wild nor this module emit them; loud if seen."""
+    headers: dict[str, str] = {}
+    for line in head.split(_CRLF):
+        if not line:
+            continue
+        if line[0:1] in (b" ", b"\t"):
+            raise ValueError(f"unsupported header continuation line: {line!r}")
+        k, _, v = line.partition(b":")
+        headers[k.decode("latin-1").strip().lower()] = (
+            v.decode("latin-1").strip()
+        )
+    return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer-encoding body."""
+    out = io.BytesIO()
+    pos = 0
+    while True:
+        nl = body.find(_CRLF, pos)
+        if nl < 0:
+            raise ValueError(f"chunked body: missing size line at {pos}")
+        size_tok = body[pos:nl].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as e:
+            raise ValueError(f"chunked body: bad chunk size {size_tok!r}") from e
+        pos = nl + 2
+        if size == 0:
+            return out.getvalue()
+        if pos + size > len(body):
+            raise ValueError("chunked body: truncated chunk data")
+        out.write(body[pos : pos + size])
+        pos += size + 2  # skip trailing CRLF
+
+
+def parse_http_response(block: bytes) -> tuple[int, dict[str, str], bytes]:
+    """Split an application/http;msgtype=response block into
+    (status, headers, body). Honors Content-Length when shorter than the
+    captured tail and decodes chunked transfer-encoding."""
+    sep = block.find(_CRLF + _CRLF)
+    if sep < 0:
+        raise ValueError("HTTP block: missing header/body separator")
+    head, body = block[:sep], block[sep + 4 :]
+    status_line, _, header_lines = head.partition(_CRLF)
+    parts = status_line.split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise ValueError(f"HTTP block: bad status line {status_line!r}")
+    status = int(parts[1])
+    headers = _parse_headers(header_lines)
+    if headers.get("transfer-encoding", "").lower() == "chunked":
+        body = _dechunk(body)
+    elif "content-length" in headers:
+        n = int(headers["content-length"])
+        if n > len(body):
+            raise ValueError(
+                f"HTTP block: Content-Length {n} exceeds captured body "
+                f"{len(body)}"
+            )
+        body = body[:n]
+    return status, headers, body
+
+
+def iter_warc_records(data: bytes) -> Iterator[dict]:
+    """Yield every record of a WARC file (plain or multi-member gzip) as
+    ``{type, uri, date, content_type, block}``. Record framing per
+    ISO 28500: header block, CRLF CRLF, Content-Length content bytes,
+    CRLF CRLF. Loud on truncation — an archive that ends mid-record is
+    corrupt, not short."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # tolerate extra blank separators between records
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        if not data[pos : pos + 5] == b"WARC/":
+            raise ValueError(
+                f"expected WARC version line at offset {pos}: "
+                f"{data[pos:pos + 16]!r}"
+            )
+        hdr_end = data.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            raise ValueError(f"truncated WARC header at offset {pos}")
+        version_line, _, header_lines = data[pos:hdr_end].partition(_CRLF)
+        headers = _parse_headers(header_lines)
+        try:
+            length = int(headers["content-length"])
+        except KeyError as e:
+            raise ValueError(
+                f"WARC record at offset {pos} has no Content-Length"
+            ) from e
+        block_start = hdr_end + 4
+        block_end = block_start + length
+        if block_end + 4 > n:
+            raise ValueError(
+                f"truncated WARC record at offset {pos}: need "
+                f"{block_end + 4 - n} more bytes"
+            )
+        if data[block_end : block_end + 4] != _CRLF + _CRLF:
+            raise ValueError(
+                f"WARC record at offset {pos}: missing CRLFCRLF separator "
+                f"after content block"
+            )
+        date_s = headers.get("warc-date")
+        yield {
+            "type": headers.get("warc-type", ""),
+            "uri": headers.get("warc-target-uri"),
+            "date": (
+                _dt.datetime.strptime(date_s, _WARC_DATE_FMT)
+                if date_s
+                else None
+            ),
+            "content_type": headers.get("content-type", ""),
+            "block": data[block_start:block_end],
+        }
+        pos = block_end + 4
+
+
+def iter_response_rows(path: str, data: bytes) -> Iterator[dict]:
+    """Response records of one WARC file as pages-shaped row dicts
+    (non-response record types — warcinfo, request, metadata — skipped)."""
+    for i, rec in enumerate(iter_warc_records(data)):
+        if rec["type"] != "response":
+            continue
+        if "msgtype=response" not in rec["content_type"].replace(" ", ""):
+            continue
+        status, headers, body = parse_http_response(rec["block"])
+        yield {
+            "url": rec["uri"],
+            "warc_ts": rec["date"],
+            "html": bytearray(body),
+            "status": status,
+            "content_type": headers.get("content-type"),
+            "location": headers.get("location"),
+            "warc_file": path,
+            "warc_record": i,
+        }
+
+
+# ---------------------------------------------------------------------------
+# Spark source
+# ---------------------------------------------------------------------------
+
+WARC_ROWS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("location", T.StringType(), True),
+        T.StructField("warc_file", T.StringType(), True),
+        T.StructField("warc_record", T.IntegerType(), True),
+    ]
+)
+
+
+def read_warc(
+    spark: SparkSession, path: str, *, batch_rows: int = 2048
+) -> DataFrame:
+    """Read a directory/glob of .warc / .warc.gz files into WARC_ROWS.
+
+    One task per file (binaryFile is non-splittable — correct for gzip
+    WARCs); the parse runs as an Arrow-batched mapInPandas generator that
+    yields ``batch_rows``-row frames, so one task holds one decompressed
+    file + one Arrow batch, never the whole archive."""
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_ROWS.fields]
+        buf: list[dict] = []
+        for pdf in it:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                for row in iter_response_rows(fpath, bytes(content)):
+                    buf.append(row)
+                    if len(buf) >= batch_rows:
+                        yield pd.DataFrame(buf, columns=cols)
+                        buf = []
+        if buf:
+            yield pd.DataFrame(buf, columns=cols)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(gen, schema=WARC_ROWS)
+
+
+def to_pages(df: DataFrame) -> DataFrame:
+    """Project WARC_ROWS onto the authoritative pages schema
+    (schemas.PAGES): derived columns JVM-side via the urlops Column
+    helpers; text/lang NULL — extraction is the extract operator's job."""
+    url: Column = F.col("url")
+    return df.select(
+        url,
+        "warc_ts",
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        "status",
+        "location",
+        "content_type",
+        urlops.host_col(url).alias("host"),
+        urlops.url_hash_col(url).alias("url_hash"),
+        F.col("warc_ts").alias("fetch_ts"),
+        F.lit(None).cast("string").alias("error"),
+    )

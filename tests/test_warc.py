@@ -1,0 +1,141 @@
+"""WARC ingest source tests (sources/warc.py): record framing, gzip
+multi-member streams, non-response skipping, HTTP parsing (content-length,
+chunked), loud truncation, the distributed read path, and the pages
+projection (byte-identical body round trip — the input_hint invariant
+surface a Common-Crawl ingest must preserve)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+
+import pytest
+
+from jcrawler_spark.functions import urlops
+from jcrawler_spark.sources import warc
+
+EPOCH = dt.datetime(2023, 11, 14, 22, 13, 20)
+
+
+def _pages(n: int) -> list[dict]:
+    return [
+        {
+            "url": f"https://h{i % 3}.example/p/{i}",
+            "body": f"<html><body>page {i} é</body></html>".encode(),
+            "date": EPOCH + dt.timedelta(seconds=i),
+            "status": 301 if i % 5 == 4 else 200,
+            "location": f"https://h0.example/r/{i}" if i % 5 == 4 else None,
+        }
+        for i in range(n)
+    ]
+
+
+def test_roundtrip_plain_and_gzip():
+    pages = _pages(7)
+    for gz in (False, True):
+        blob = warc.build_warc(pages, gzip_per_record=gz, with_requests=True)
+        rows = list(warc.iter_response_rows("f", blob))
+        assert [r["url"] for r in rows] == [p["url"] for p in pages]
+        assert [bytes(r["html"]) for r in rows] == [p["body"] for p in pages]
+        assert [r["warc_ts"] for r in rows] == [p["date"] for p in pages]
+        assert rows[4]["status"] == 301
+        assert rows[4]["location"] == "https://h0.example/r/4"
+
+
+def test_writer_is_deterministic():
+    pages = _pages(3)
+    assert warc.build_warc(pages) == warc.build_warc(pages)
+
+
+def test_non_response_records_are_skipped_but_parsed():
+    blob = warc.build_warc(_pages(2), warcinfo=True, with_requests=True)
+    recs = list(warc.iter_warc_records(blob))
+    # warcinfo + (request + response) * 2
+    assert [r["type"] for r in recs] == [
+        "warcinfo", "request", "response", "request", "response",
+    ]
+    assert len(list(warc.iter_response_rows("f", blob))) == 2
+
+
+def test_gzip_multi_member_boundaries():
+    # one member per record (the Common Crawl layout): zlib must continue
+    # past each member boundary
+    blob = warc.build_warc(_pages(5), gzip_per_record=True)
+    assert blob[:2] == b"\x1f\x8b"
+    # more than one gzip member present
+    assert blob.count(b"\x1f\x8b\x08") >= 5
+    assert len(list(warc.iter_response_rows("f", blob))) == 5
+
+
+def test_truncation_is_loud():
+    plain = warc.build_warc(_pages(3), gzip_per_record=False)
+    with pytest.raises(ValueError, match="truncated WARC record"):
+        list(warc.iter_warc_records(plain[:-10]))
+    gz = warc.build_warc(_pages(3), gzip_per_record=True)
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        list(warc.iter_warc_records(gz[:-10]))
+
+
+def test_bad_version_line_is_loud():
+    with pytest.raises(ValueError, match="expected WARC version line"):
+        list(warc.iter_warc_records(b"NOPE/1.0\r\n\r\n\r\n\r\n"))
+
+
+def test_http_content_length_bounds_body():
+    # captured tail beyond Content-Length (e.g. keepalive residue) is cut
+    block = b"HTTP/1.1 200 OK\r\nContent-Length: 4\r\n\r\nabcdEXTRA"
+    status, headers, body = warc.parse_http_response(block)
+    assert (status, body) == (200, b"abcd")
+
+
+def test_http_chunked_decode():
+    block = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"4\r\nWiki\r\n5\r\npedia\r\n0\r\n\r\n"
+    )
+    assert warc.parse_http_response(block)[2] == b"Wikipedia"
+
+
+def test_http_chunked_truncation_is_loud():
+    block = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"ff\r\nshort"
+    )
+    with pytest.raises(ValueError, match="chunked body"):
+        warc.parse_http_response(block)
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    pages = _pages(10)
+    for fi in range(2):
+        blob = warc.build_warc(
+            pages[fi * 5 : (fi + 1) * 5], with_requests=True
+        )
+        (tmp_path / f"part-{fi}.warc.gz").write_bytes(blob)
+    # a non-WARC file in the directory is ignored by the glob
+    (tmp_path / "_SUCCESS").write_bytes(b"")
+
+    got = warc.read_warc(spark, str(tmp_path)).orderBy("url").collect()
+    assert [r["url"] for r in got] == sorted(p["url"] for p in pages)
+    by_url = {r["url"]: r for r in got}
+    for p in pages:
+        r = by_url[p["url"]]
+        assert bytes(r["html"]) == p["body"]  # byte-identical round trip
+        assert r["warc_ts"] == p["date"]
+        assert r["status"] == p["status"]
+    # lineage columns point back into the archive
+    assert all(r["warc_file"].endswith(".warc.gz") for r in got)
+
+
+def test_to_pages_projection(spark, tmp_path):
+    (tmp_path / "a.warc.gz").write_bytes(warc.build_warc(_pages(3)))
+    out = warc.to_pages(warc.read_warc(spark, str(tmp_path)))
+    rows = {r["url"]: r for r in out.collect()}
+    u = "https://h1.example/p/1"
+    assert rows[u]["host"] == "h1.example"
+    assert rows[u]["url_hash"] == urlops.url_hash(u)
+    assert rows[u]["text"] is None and rows[u]["lang"] is None
+    names = [f.name for f in out.schema.fields]
+    from jcrawler_spark import schemas
+
+    assert names == [f.name for f in schemas.PAGES.fields]
