@@ -1632,6 +1632,110 @@ FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200)
 """
 
 
+def q_sitemap_harvest(spark, sf_dir):
+    """Sitemap seeder (operators/sitemap.py): explode a table of sitemap.xml
+    snapshots into (loc, lastmod, priority) seed entries — the sitemaps.org
+    discovery channel the reference lacks (its seeders are lists/patterns/
+    SERP, SURVEY §2.1), feeding priority-ordered wave selection. Markup is
+    synthesized from documents by identical arithmetic on both sides (the
+    seed_search pattern); Spark parses it with the real namespace-tolerant
+    ElementTree path via Arrow mapInPandas, the oracle re-harvests with
+    DuckDB regexps — two independent implementations. doc_id%3 rows pin the
+    missing-priority default-NULL path, doc_id%4 rows the loc-only form."""
+    from jcrawler_spark.operators import sitemap as sitemapmod
+
+    d = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit(
+            "<?xml version='1.0' encoding='UTF-8'?>"
+            '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+        ),
+        F.lit("<url><loc>https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"),
+        d,
+        F.lit("/a</loc><lastmod>2024-01-"),
+        F.lpad(((F.col("doc_id") % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0.8</priority></url>"),
+        F.lit("<url><loc>https://site"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"),
+        d,
+        F.lit("/b</loc>"),
+        F.when(
+            F.col("doc_id") % 3 != 0,
+            F.concat(
+                F.lit("<priority>0."),
+                (F.col("doc_id") % 10).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("<url><loc>https://site"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example/extra-"),
+                d,
+                F.lit("</loc><changefreq>weekly</changefreq></url>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    snaps = _t(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example/sitemap-"),
+            d,
+            F.lit(".xml"),
+        ).alias("url"),
+        F.encode(xml, "UTF-8").alias("body"),
+    )
+    ents = sitemapmod.harvest_sitemaps(snaps)
+    return ents.select(
+        "sitemap_url",
+        F.col("order_in_map").cast("long").alias("order_in_map"),
+        "loc",
+        "lastmod",
+        "changefreq",
+        "priority",
+    )
+
+
+_SITEMAP_XML_SQL = (
+    "'<url><loc>https://site' || (doc_id % 7) || '.example/p/' || doc_id"
+    " || '/a</loc><lastmod>2024-01-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')"
+    " || '</lastmod><priority>0.8</priority></url>'"
+    " || '<url><loc>https://site' || (doc_id % 7) || '.example/p/' || doc_id || '/b</loc>'"
+    " || (CASE WHEN doc_id % 3 <> 0 THEN '<priority>0.' || (doc_id % 10) || '</priority>' ELSE '' END)"
+    " || '</url>'"
+    " || (CASE WHEN doc_id % 4 = 0 THEN '<url><loc>https://site' || (doc_id % 7)"
+    " || '.example/extra-' || doc_id || '</loc><changefreq>weekly</changefreq></url>' ELSE '' END)"
+)
+
+_SITEMAP_HARVEST_SQL = f"""
+SELECT
+  sitemap_url,
+  CAST(generate_subscripts(blocks, 1) AS BIGINT) - 1 AS order_in_map,
+  regexp_extract(unnest(blocks), '<loc>([^<]*)</loc>', 1) AS loc,
+  nullif(regexp_extract(unnest(blocks), '<lastmod>([^<]*)</lastmod>', 1), '')
+      AS lastmod,
+  nullif(regexp_extract(unnest(blocks), '<changefreq>([^<]*)</changefreq>', 1),
+         '') AS changefreq,
+  CAST(nullif(regexp_extract(unnest(blocks), '<priority>([^<]*)</priority>', 1),
+              '') AS DOUBLE) AS priority
+FROM (
+  SELECT
+    'https://site' || (doc_id % 7) || '.example/sitemap-' || doc_id || '.xml'
+        AS sitemap_url,
+    regexp_extract_all({_SITEMAP_XML_SQL}, '<url>(.*?)</url>', 1) AS blocks
+  FROM documents
+)
+"""
+
+
 def q_seed_search(spark, sf_dir):
     """S7 search seeder, bulk form (JSeeder.java:13-43): harvest seed URLs
     from a corpus of SERP snapshots — anchor hrefs in document order, the
@@ -1813,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_emission": q_crawl_emission,
         "media_features": q_media_features,
         "warc_roundtrip": q_warc_roundtrip,
+        "sitemap_harvest": q_sitemap_harvest,
     }
 
 
@@ -1860,4 +1965,5 @@ def oracle_sql() -> dict[str, str]:
         "crawl_emission": _CRAWL_EMISSION_SQL,
         "media_features": _MEDIA_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "sitemap_harvest": _SITEMAP_HARVEST_SQL,
     }
