@@ -127,6 +127,57 @@ def test_read_warc_distributed(spark, tmp_path):
     assert all(r["warc_file"].endswith(".warc.gz") for r in got)
 
 
+def test_crawl_replay_from_warc_archive(spark, tmp_path):
+    """End-to-end: archive the synthetic corpus as WARC files, ingest it
+    back distributed, and crawl the ingested table — the emission
+    (url, superstep, order_key) must be identical to crawling the original
+    corpus. This is the replay path a Common-Crawl-backed run uses: the
+    archive IS the web."""
+    from jcrawler_spark import corpus
+    from jcrawler_spark.config import CrawlConfig
+    from jcrawler_spark.engine import CrawlEngine, SyntheticFetcher
+
+    pages = corpus.build_pages_df(spark, 120, 4, partitions=4)
+    rows = pages.select(
+        "url", "html", "status", "location", "content_type", "warc_ts"
+    ).collect()
+    recs = [
+        {
+            "url": r["url"],
+            "body": bytes(r["html"]) if r["html"] is not None else b"",
+            "date": r["warc_ts"] or EPOCH,
+            "status": r["status"],
+            "location": r["location"],
+            "content_type": r["content_type"] or "text/html; charset=utf-8",
+        }
+        for r in rows
+    ]
+    per = (len(recs) + 2) // 3
+    for fi in range(3):
+        (tmp_path / f"crawl-{fi}.warc.gz").write_bytes(
+            warc.build_warc(recs[fi * per : (fi + 1) * per], with_requests=True)
+        )
+    ingested = warc.to_pages(warc.read_warc(spark, str(tmp_path)))
+
+    def emission(src_pages, root):
+        cfg = CrawlConfig(
+            accept=[f"host{i}.example" for i in range(4)],
+            max_docs=40,
+            wave_budget=10,
+        )
+        eng = CrawlEngine(spark, cfg, SyntheticFetcher(src_pages), root)
+        eng.run(seeds=[corpus.url_of(0, 4)], max_supersteps=20)
+        return sorted(
+            (r["url"], r["superstep"], r["order_key"])
+            for r in eng.emitted().collect()
+        )
+
+    base = emission(pages, str(tmp_path / "state-base"))
+    replay = emission(ingested, str(tmp_path / "state-replay"))
+    assert base == replay
+    assert len(base) == 40
+
+
 def test_to_pages_projection(spark, tmp_path):
     (tmp_path / "a.warc.gz").write_bytes(warc.build_warc(_pages(3)))
     out = warc.to_pages(warc.read_warc(spark, str(tmp_path)))
