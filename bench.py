@@ -178,6 +178,24 @@ def main() -> None:
     extras["links_extracted"] = n_links
     extras["pages_per_sec_extract"] = round(n_pages / timings["extract_bulk"], 1)
 
+    # ---- WARC ingest (archive → pages source throughput) ----
+    if not CRAWL_ONLY:
+        from jcrawler_spark.sources import warc as warcmod
+
+        n_warc = min(n_pages, 20_000)
+        warc_dir = os.path.join(state_root, "warc")
+        # archive build is setup (the sink is itself distributed — one
+        # .warc.gz per partition, executor-side streaming writes)
+        warcmod.write_warc_files(
+            pages_df.limit(n_warc).repartition(16), warc_dir
+        ).collect()
+        t0 = time.monotonic()
+        n_ingested = warcmod.read_warc(spark, warc_dir).count()
+        timings["warc_ingest"] = round(time.monotonic() - t0, 2)
+        extras["warc_pages_per_sec"] = round(
+            n_ingested / timings["warc_ingest"], 1
+        )
+
     # ---- operator benches from the contract ----
     op_names = () if CRAWL_ONLY else (
         "minhash_signatures",

@@ -374,6 +374,80 @@ def read_warc(
     return files.mapInPandas(gen, schema=WARC_ROWS)
 
 
+WARC_SINK_STATS = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("n_records", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+    ]
+)
+
+
+def write_warc_files(
+    df: DataFrame, path: str, *, gzip_per_record: bool = True
+) -> DataFrame:
+    """WARC sink: archive a pages-shaped table (url, html, status,
+    location, content_type, warc_ts) as one .warc.gz per partition —
+    the export mirror of read_warc, so a crawl interchanges with any
+    Common-Crawl-consuming tool. The caller sizes files via
+    ``df.repartition(n)`` (CC convention ~1 GB/file). Records stream to
+    disk one gzip member at a time — an executor holds one record, not
+    the partition. Returns one stats row per written file (the action
+    that runs the job); rows with NULL html archive as empty-body
+    responses (status is still the crawl's observation)."""
+    import os
+
+    from pyspark import TaskContext
+
+    cols = ["url", "html", "status", "location", "content_type", "warc_ts"]
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(
+            path, f"part-{pid:05d}.warc" + (".gz" if gzip_per_record else "")
+        )
+        n = 0
+        with open(fname, "wb") as f:
+            for pdf in it:
+                for url, html, status, ctype, loc, ts in zip(
+                    pdf["url"], pdf["html"], pdf["status"],
+                    pdf["content_type"], pdf["location"], pdf["warc_ts"],
+                ):
+                    http = build_http_response(
+                        bytes(html) if html is not None else b"",
+                        status=200 if pd.isna(status) else int(status),
+                        content_type=(
+                            ctype
+                            if isinstance(ctype, str) and ctype
+                            else "text/html; charset=utf-8"
+                        ),
+                        location=None if not isinstance(loc, str) else loc,
+                    )
+                    rec = build_record(
+                        "response",
+                        "application/http; msgtype=response",
+                        http,
+                        target_uri=url,
+                        date=None if pd.isna(ts) else ts.to_pydatetime(),
+                    )
+                    f.write(
+                        gzip.compress(rec, compresslevel=6, mtime=0)
+                        if gzip_per_record
+                        else rec
+                    )
+                    n += 1
+            size = f.tell()
+        if n == 0:
+            os.remove(fname)  # empty partition → no file
+            return
+        yield pd.DataFrame(
+            [(fname, n, size)], columns=[x.name for x in WARC_SINK_STATS.fields]
+        )
+
+    os.makedirs(path, exist_ok=True)
+    return df.select(*cols).mapInPandas(gen, schema=WARC_SINK_STATS)
+
+
 def to_pages(df: DataFrame) -> DataFrame:
     """Project WARC_ROWS onto the authoritative pages schema
     (schemas.PAGES): derived columns JVM-side via the urlops Column
