@@ -404,6 +404,47 @@ def main() -> None:
     for t in ("seen_index", "frontier_add"):
         spark.sql(f"DROP TABLE IF EXISTS {store._catalog_name(t)}")
 
+    # WARC ingest (sources/warc.py): archive → pages must be a pure
+    # map-only pipeline — binaryFile scan → ArrowEvalPython/MapInPandas →
+    # project. ZERO Exchanges: at 100k-file scale any shuffle here would
+    # move the decompressed archive bytes across the cluster.
+    import os as _os
+
+    from jcrawler_spark.sources import warc as warc_ops
+
+    wdir = tempfile.mkdtemp(prefix="plans-warc-")
+    with open(_os.path.join(wdir, "a.warc.gz"), "wb") as fh:
+        fh.write(
+            warc_ops.build_warc(
+                [{"url": "https://a.example/x", "body": b"<html/>"}]
+            )
+        )
+    warc_plan = (
+        warc_ops.to_pages(warc_ops.read_warc(spark, wdir))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_ex_warc = len(re.findall(r"Exchange", warc_plan))
+    n_map_warc = len(re.findall(r"MapInPandas", warc_plan))
+    assert n_ex_warc == 0, (
+        f"warc ingest must be map-only, got {n_ex_warc} Exchanges"
+    )
+    assert n_map_warc == 1, "warc ingest must parse via one MapInPandas"
+    out.append(
+        "## warc ingest → pages projection (map-only)\n\n"
+        f"Exchange count: {n_ex_warc} (must be 0 — one task per archive "
+        "file, parse + derived columns stay on the executor).\n\n```\n"
+        + "\n".join(
+            ln.rstrip()[:110]
+            for ln in warc_plan.splitlines()
+            if re.search(r"Exchange|MapInPandas|Scan|Project", ln)
+        )
+        + "\n```\n"
+    )
+    summary.append(
+        f"- **warc_ingest_map_only**: exchanges={n_ex_warc} "
+        f"map_in_pandas={n_map_warc}"
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("\n".join(summary))
