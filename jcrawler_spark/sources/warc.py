@@ -394,7 +394,13 @@ def write_warc_files(
     disk one gzip member at a time — an executor holds one record, not
     the partition. Returns one stats row per written file (the action
     that runs the job); rows with NULL html archive as empty-body
-    responses (status is still the crawl's observation)."""
+    responses (status is still the crawl's observation).
+
+    ``path`` must be executor-visible (shared/POSIX filesystem — true in
+    local and local-cluster modes and on NFS/fuse mounts; an
+    object-store deployment would swap the ``open()`` for an fsspec/
+    Hadoop-FS handle, same streaming shape). Task retries are idempotent:
+    a retry truncates and rewrites its own part file."""
     import os
 
     from pyspark import TaskContext
