@@ -342,15 +342,9 @@ WARC_ROWS = T.StructType(
 )
 
 
-def read_warc(
-    spark: SparkSession, path: str, *, batch_rows: int = 2048
-) -> DataFrame:
-    """Read a directory/glob of .warc / .warc.gz files into WARC_ROWS.
-
-    One task per file (binaryFile is non-splittable — correct for gzip
-    WARCs); the parse runs as an Arrow-batched mapInPandas generator that
-    yields ``batch_rows``-row frames, so one task holds one decompressed
-    file + one Arrow batch, never the whole archive."""
+def _parse_gen(batch_rows: int):
+    """The shared file-bytes → WARC_ROWS Arrow generator (batch and
+    streaming reads run the identical parse)."""
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [f.name for f in WARC_ROWS.fields]
@@ -365,13 +359,61 @@ def read_warc(
         if buf:
             yield pd.DataFrame(buf, columns=cols)
 
+    return gen
+
+
+def read_warc(
+    spark: SparkSession, path: str, *, batch_rows: int = 2048
+) -> DataFrame:
+    """Read a directory/glob of .warc / .warc.gz files into WARC_ROWS.
+
+    One task per file (binaryFile is non-splittable — correct for gzip
+    WARCs); the parse runs as an Arrow-batched mapInPandas generator that
+    yields ``batch_rows``-row frames, so one task holds one decompressed
+    file + one Arrow batch, never the whole archive."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.warc*")
         .load(path)
         .select("path", "content")
     )
-    return files.mapInPandas(gen, schema=WARC_ROWS)
+    return files.mapInPandas(_parse_gen(batch_rows), schema=WARC_ROWS)
+
+
+# binaryFile's fixed schema, spelled out because a streaming source
+# requires it explicitly
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("modificationTime", T.TimestampType(), False),
+        T.StructField("length", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+    ]
+)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    *,
+    batch_rows: int = 2048,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Streaming form of read_warc: archives landing in ``path`` (a fetch
+    fleet dropping .warc.gz files) become a continuous pages stream — the
+    same parse generator, exactly-once per file via the file-source's
+    checkpointed listing (streaming/ingest.start_to_parquet composes as
+    the sink). Each micro-batch holds whole files, so parallelism and
+    memory behave exactly like the batch read."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .schema(_BINARY_FILE_SCHEMA)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_parse_gen(batch_rows), schema=WARC_ROWS)
 
 
 WARC_SINK_STATS = T.StructType(

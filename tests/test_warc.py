@@ -225,6 +225,37 @@ def test_write_warc_files_empty_partitions(spark, tmp_path):
     assert len(list(warc.read_warc(spark, out).collect())) == 1
 
 
+def test_read_warc_stream_exactly_once(spark, tmp_path):
+    """Streaming ingestion: archives landing in a directory become a pages
+    stream, each file consumed exactly once across checkpointed drains."""
+    from jcrawler_spark.streaming import ingest
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pages = _pages(9)
+
+    (src / "a.warc.gz").write_bytes(warc.build_warc(pages[:3]))
+    (src / "b.warc.gz").write_bytes(warc.build_warc(pages[3:6]))
+    stream = warc.read_warc_stream(spark, str(src))
+    assert stream.isStreaming
+    ingest.start_to_parquet(stream, out, ckpt).awaitTermination(120)
+    assert spark.read.parquet(out).count() == 6
+
+    # a third archive lands; a new drain from the same checkpoint picks up
+    # ONLY the new file — no re-ingestion of a/b
+    (src / "c.warc.gz").write_bytes(warc.build_warc(pages[6:]))
+    ingest.start_to_parquet(
+        warc.read_warc_stream(spark, str(src)), out, ckpt
+    ).awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 9
+    assert got.select("url").distinct().count() == 9
+    by_url = {r["url"]: bytes(r["html"]) for r in got.collect()}
+    assert by_url == {p["url"]: p["body"] for p in pages}
+
+
 def test_to_pages_projection(spark, tmp_path):
     (tmp_path / "a.warc.gz").write_bytes(warc.build_warc(_pages(3)))
     out = warc.to_pages(warc.read_warc(spark, str(tmp_path)))
