@@ -71,6 +71,8 @@ def parse_sitemap(data: bytes) -> tuple[str, list[dict]]:
     malformed XML raises loudly."""
     if data[:2] == b"\x1f\x8b":
         data = gzip.decompress(data)
+    if data[:3] == b"\xef\xbb\xbf":  # UTF-8 BOM (seen in the wild)
+        data = data[3:]
     head = data.lstrip()[:256].lower()
     if head.startswith(b"<") or b"<urlset" in head or b"<sitemapindex" in head:
         root = ET.parse(io.BytesIO(data)).getroot()

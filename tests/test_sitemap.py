@@ -68,6 +68,12 @@ def test_entries_without_loc_skipped_and_bad_xml_loud():
         sitemap.parse_sitemap(b"<html><body>nope</body></html>")
 
 
+def test_parse_bom_prefixed_xml():
+    blob = b"\xef\xbb\xbf" + sitemap.build_urlset(_entries(2))
+    kind, got = sitemap.parse_sitemap(blob)
+    assert kind == "urlset" and len(got) == 2
+
+
 def test_sitemap_urls_from_robots():
     txt = (
         "User-agent: *\nDisallow: /tmp\n"
