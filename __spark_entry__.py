@@ -1564,8 +1564,9 @@ def q_warc_roundtrip(spark, sf_dir):
     DISTRIBUTED via binaryFile + Arrow mapInPandas, and projected. Oracle:
     the same rows straight off the documents table — a genuine round trip
     against an independent source of truth, byte-identical body included.
-    warc_ts is compared as a formatted string so the check is
-    session-timezone-invariant (naive write → naive format)."""
+    warc_ts is compared as its UTC wall-time string (read_warc stores the
+    true instant — aware-UTC parse — so rendering via to_utc_timestamp
+    makes the check session-timezone-invariant)."""
     import datetime as _dt
     import os
     import shutil
@@ -1597,13 +1598,15 @@ def q_warc_roundtrip(spark, sf_dir):
             ]
             with open(os.path.join(root, f"part-{fi}.warc.gz"), "wb") as f:
                 f.write(warcmod.build_warc(recs, with_requests=True))
+        tz = spark.conf.get("spark.sql.session.timeZone")
         rows = (
             warcmod.read_warc(spark, root)
             .select(
                 "url",
-                F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias(
-                    "warc_ts_s"
-                ),
+                F.date_format(
+                    F.to_utc_timestamp(F.col("warc_ts"), tz),
+                    "yyyy-MM-dd HH:mm:ss",
+                ).alias("warc_ts_s"),
                 "status",
                 "content_type",
                 F.decode("html", "UTF-8").alias("text"),

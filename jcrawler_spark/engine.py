@@ -1066,10 +1066,17 @@ class CrawlEngine:
         one-sided (wave-side shuffle only) — the same shape as the seen
         anti-join. url_hash must be unique per row (pagerank output is); a
         duplicate would fan out frontier rows in the lookup join and break
-        exactly-once, so duplicates are defensively dropped here."""
-        self._priority_scores = scores.select(
-            "url_hash", F.col("score").cast("double").alias("_prio_score")
-        ).dropDuplicates(["url_hash"])
+        exactly-once, so duplicates are reduced DETERMINISTICALLY here
+        (max score wins — dropDuplicates would keep an arbitrary row,
+        and since this plan re-evaluates every superstep, an arbitrary
+        pick could differ across supersteps within one run)."""
+        self._priority_scores = (
+            scores.select(
+                "url_hash", F.col("score").cast("double").alias("_prio_score")
+            )
+            .groupBy("url_hash")
+            .agg(F.max("_prio_score").alias("_prio_score"))
+        )
 
     def _rank_new(self, cand: DataFrame, s: int) -> tuple[DataFrame, int]:
         """Deterministic FIFO order_keys for newly discovered URLs by

@@ -88,12 +88,18 @@ def parse_sitemap(data: bytes) -> tuple[str, list[dict]]:
             if not loc:
                 continue
             prio = fields.get("priority")
+            try:
+                # a hint, never load-bearing (same policy as lastmod_ts'
+                # try_to_timestamp): '0,8' / 'high' seen in the wild → NULL
+                prio_f = float(prio) if prio is not None else None
+            except ValueError:
+                prio_f = None
             entries.append(
                 {
                     "loc": loc,
                     "lastmod": fields.get("lastmod"),
                     "changefreq": fields.get("changefreq"),
-                    "priority": float(prio) if prio is not None else None,
+                    "priority": prio_f,
                 }
             )
         return kind, entries
@@ -142,24 +148,24 @@ def harvest_sitemaps(
     mapInPandas generator; one snapshot parsed at a time, emitted in
     bounded batches)."""
 
+    from jcrawler_spark.arrowio import emit_batches
+
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in ENTRY.fields]
-        buf: list[tuple] = []
-        for pdf in it:
-            for u, body in zip(pdf[url_col], pdf[body_col]):
-                if body is None:
-                    continue
-                kind, entries = parse_sitemap(bytes(body))
-                for i, e in enumerate(entries):
-                    buf.append(
-                        (u, kind, e["loc"], e["lastmod"], e["changefreq"],
-                         e["priority"], i)
-                    )
-                    if len(buf) >= batch_rows:
-                        yield pd.DataFrame(buf, columns=cols)
-                        buf = []
-        if buf:
-            yield pd.DataFrame(buf, columns=cols)
+        def rows():
+            for pdf in it:
+                for u, body in zip(pdf[url_col], pdf[body_col]):
+                    if body is None:
+                        continue
+                    kind, entries = parse_sitemap(bytes(body))
+                    for i, e in enumerate(entries):
+                        yield (
+                            u, kind, e["loc"], e["lastmod"],
+                            e["changefreq"], e["priority"], i,
+                        )
+
+        return emit_batches(
+            rows(), [f.name for f in ENTRY.fields], batch_rows
+        )
 
     return snapshots.select(url_col, body_col).mapInPandas(gen, schema=ENTRY)
 

@@ -55,6 +55,28 @@ _RECORD_NS = uuid.UUID("6ba7b811-9dad-11d1-80b4-00c04fd430c8")  # uuid URL ns
 # writer (test/fixture synthesis — also what the contract oracle pins)
 # ---------------------------------------------------------------------------
 
+def _format_warc_date(date: _dt.datetime) -> str:
+    """UTC 'Z' form; naive input is taken AS UTC (callers that hold a
+    session-local wall time must convert first — write_warc_files does,
+    JVM-side). Microseconds are kept when present (WARC/1.1 allows
+    fractional seconds; whole-second dates stay in the 1.0 form)."""
+    if date.tzinfo is not None:
+        date = date.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    if date.microsecond:
+        return date.strftime("%Y-%m-%dT%H:%M:%S.%fZ")
+    return date.strftime(_WARC_DATE_FMT)
+
+
+def _parse_warc_date(s: str) -> _dt.datetime:
+    """Tolerant WARC-Date parse (1.0 whole-second, 1.1 fractional, any
+    ISO-8601 offset) → tz-AWARE UTC datetime, so the instant survives any
+    reader session timezone."""
+    d = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=_dt.timezone.utc)
+    return d.astimezone(_dt.timezone.utc)
+
+
 def build_record(
     record_type: str,
     content_type: str,
@@ -70,7 +92,7 @@ def build_record(
         b"WARC/1.0",
         b"WARC-Type: " + record_type.encode("ascii"),
         b"WARC-Record-ID: <urn:uuid:" + str(rid).encode("ascii") + b">",
-        b"WARC-Date: " + date.strftime(_WARC_DATE_FMT).encode("ascii"),
+        b"WARC-Date: " + _format_warc_date(date).encode("ascii"),
     ]
     if target_uri is not None:
         headers.append(b"WARC-Target-URI: " + target_uri.encode("utf-8"))
@@ -180,8 +202,12 @@ def _gunzip_members(data: bytes) -> bytes:
 
 def _parse_headers(head: bytes) -> dict[str, str]:
     """Parse WARC or HTTP header lines (after the version/status line) into
-    a lower-cased dict. No continuation-line support — neither WARC writers
-    in the wild nor this module emit them; loud if seen."""
+    a lower-cased dict. Values decode as UTF-8 (WARC header values —
+    WARC-Target-URI in particular — are UTF-8 per ISO 28500, and this
+    module writes them that way, so the round trip is an identity for
+    IRIs) with latin-1 fallback for raw captured HTTP headers. No
+    continuation-line support — neither WARC writers in the wild nor this
+    module emit them; loud if seen."""
     headers: dict[str, str] = {}
     for line in head.split(_CRLF):
         if not line:
@@ -189,9 +215,11 @@ def _parse_headers(head: bytes) -> dict[str, str]:
         if line[0:1] in (b" ", b"\t"):
             raise ValueError(f"unsupported header continuation line: {line!r}")
         k, _, v = line.partition(b":")
-        headers[k.decode("latin-1").strip().lower()] = (
-            v.decode("latin-1").strip()
-        )
+        try:
+            value = v.decode("utf-8")
+        except UnicodeDecodeError:
+            value = v.decode("latin-1")
+        headers[k.decode("latin-1").strip().lower()] = value.strip()
     return headers
 
 
@@ -292,11 +320,7 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
         yield {
             "type": headers.get("warc-type", ""),
             "uri": headers.get("warc-target-uri"),
-            "date": (
-                _dt.datetime.strptime(date_s, _WARC_DATE_FMT)
-                if date_s
-                else None
-            ),
+            "date": _parse_warc_date(date_s) if date_s else None,
             "content_type": headers.get("content-type", ""),
             "block": data[block_start:block_end],
         }
@@ -309,7 +333,11 @@ def iter_response_rows(path: str, data: bytes) -> Iterator[dict]:
     for i, rec in enumerate(iter_warc_records(data)):
         if rec["type"] != "response":
             continue
-        if "msgtype=response" not in rec["content_type"].replace(" ", ""):
+        # msgtype is a RECOMMENDED parameter, not required (ISO 28500):
+        # accept application/http with no msgtype; skip only an explicit
+        # non-response msgtype (e.g. a mislabeled request block)
+        ct = rec["content_type"].replace(" ", "").lower()
+        if "msgtype=" in ct and "msgtype=response" not in ct:
             continue
         status, headers, body = parse_http_response(rec["block"])
         yield {
@@ -345,19 +373,17 @@ WARC_ROWS = T.StructType(
 def _parse_gen(batch_rows: int):
     """The shared file-bytes → WARC_ROWS Arrow generator (batch and
     streaming reads run the identical parse)."""
+    from jcrawler_spark.arrowio import emit_batches
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in WARC_ROWS.fields]
-        buf: list[dict] = []
-        for pdf in it:
-            for fpath, content in zip(pdf["path"], pdf["content"]):
-                for row in iter_response_rows(fpath, bytes(content)):
-                    buf.append(row)
-                    if len(buf) >= batch_rows:
-                        yield pd.DataFrame(buf, columns=cols)
-                        buf = []
-        if buf:
-            yield pd.DataFrame(buf, columns=cols)
+        def rows():
+            for pdf in it:
+                for fpath, content in zip(pdf["path"], pdf["content"]):
+                    yield from iter_response_rows(fpath, bytes(content))
+
+        return emit_batches(
+            rows(), [f.name for f in WARC_ROWS.fields], batch_rows
+        )
 
     return gen
 
@@ -421,6 +447,7 @@ WARC_SINK_STATS = T.StructType(
         T.StructField("path", T.StringType(), False),
         T.StructField("n_records", T.LongType(), False),
         T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("n_skipped", T.LongType(), False),
     ]
 )
 
@@ -435,8 +462,14 @@ def write_warc_files(
     ``df.repartition(n)`` (CC convention ~1 GB/file). Records stream to
     disk one gzip member at a time — an executor holds one record, not
     the partition. Returns one stats row per written file (the action
-    that runs the job); rows with NULL html archive as empty-body
-    responses (status is still the crawl's observation).
+    that runs the job). Rows with NULL html but a real status archive as
+    empty-body responses (status is still the crawl's observation); rows
+    with NULL status (failed fetches — no HTTP transaction was observed)
+    are NOT fabricated into responses: they are skipped and counted in
+    the per-file ``n_skipped`` stat, keeping a replay crawl's view of
+    "fetched OK" identical to the original's. WARC-Date is the true UTC
+    instant regardless of the session timezone (converted JVM-side
+    before the Arrow handoff).
 
     ``path`` must be executor-visible (shared/POSIX filesystem — true in
     local and local-cluster modes and on NFS/fuse mounts; an
@@ -455,15 +488,19 @@ def write_warc_files(
             path, f"part-{pid:05d}.warc" + (".gz" if gzip_per_record else "")
         )
         n = 0
+        n_skipped = 0
         with open(fname, "wb") as f:
             for pdf in it:
                 for url, html, status, ctype, loc, ts in zip(
                     pdf["url"], pdf["html"], pdf["status"],
                     pdf["content_type"], pdf["location"], pdf["warc_ts"],
                 ):
+                    if pd.isna(status):
+                        n_skipped += 1  # no HTTP transaction to archive
+                        continue
                     http = build_http_response(
                         bytes(html) if html is not None else b"",
-                        status=200 if pd.isna(status) else int(status),
+                        status=int(status),
                         content_type=(
                             ctype
                             if isinstance(ctype, str) and ctype
@@ -486,14 +523,25 @@ def write_warc_files(
                     n += 1
             size = f.tell()
         if n == 0:
-            os.remove(fname)  # empty partition → no file
-            return
+            os.remove(fname)  # nothing archivable → no file
+            if n_skipped == 0:
+                return
+            size = 0
         yield pd.DataFrame(
-            [(fname, n, size)], columns=[x.name for x in WARC_SINK_STATS.fields]
+            [(fname, n, size, n_skipped)],
+            columns=[x.name for x in WARC_SINK_STATS.fields],
         )
 
     os.makedirs(path, exist_ok=True)
-    return df.select(*cols).mapInPandas(gen, schema=WARC_SINK_STATS)
+    # hand the UDF the UTC wall time of each instant: Arrow gives pandas
+    # tz-NAIVE values rendered in the session timezone, which would stamp
+    # a wrong 'Z' date under any non-UTC session
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    src = df.select(
+        *[c for c in cols if c != "warc_ts"],
+        F.to_utc_timestamp(F.col("warc_ts"), session_tz).alias("warc_ts"),
+    )
+    return src.mapInPandas(gen, schema=WARC_SINK_STATS)
 
 
 def to_pages(df: DataFrame) -> DataFrame:

@@ -306,8 +306,12 @@ def test_priority_scores_reorder_waves(spark, pages_df, pages_local, tmp_path):
         max_connections=None,
         bloom_enabled=False,
     )
+    # a duplicate url_hash with a LOWER score must lose deterministically
+    # (max wins — an arbitrary keep could flip the schedule between
+    # supersteps since the plan re-evaluates per wave)
     scores = spark.createDataFrame(
-        [(urlops.url_hash(target), 10.0)], "url_hash string, score double"
+        [(urlops.url_hash(target), 10.0), (urlops.url_hash(target), 0.01)],
+        "url_hash string, score double",
     )
     eng = CrawlEngine(
         spark, cfg, SyntheticFetcher(pages_df), str(tmp_path / "prio")

@@ -68,6 +68,19 @@ def test_entries_without_loc_skipped_and_bad_xml_loud():
         sitemap.parse_sitemap(b"<html><body>nope</body></html>")
 
 
+def test_malformed_priority_is_null_not_fatal():
+    raw = (
+        b"<urlset><url><loc>https://a.example/1</loc>"
+        b"<priority>0,8</priority></url>"
+        b"<url><loc>https://a.example/2</loc>"
+        b"<priority>high</priority></url>"
+        b"<url><loc>https://a.example/3</loc>"
+        b"<priority>0.7</priority></url></urlset>"
+    )
+    kind, got = sitemap.parse_sitemap(raw)
+    assert [e["priority"] for e in got] == [None, None, 0.7]
+
+
 def test_parse_bom_prefixed_xml():
     blob = b"\xef\xbb\xbf" + sitemap.build_urlset(_entries(2))
     kind, got = sitemap.parse_sitemap(blob)

@@ -10,6 +10,7 @@ import datetime as dt
 import gzip
 
 import pytest
+from pyspark.sql import functions as F
 
 from jcrawler_spark.functions import urlops
 from jcrawler_spark.sources import warc
@@ -37,7 +38,10 @@ def test_roundtrip_plain_and_gzip():
         rows = list(warc.iter_response_rows("f", blob))
         assert [r["url"] for r in rows] == [p["url"] for p in pages]
         assert [bytes(r["html"]) for r in rows] == [p["body"] for p in pages]
-        assert [r["warc_ts"] for r in rows] == [p["date"] for p in pages]
+        # the parser returns aware-UTC instants; naive writer dates are UTC
+        assert [r["warc_ts"] for r in rows] == [
+            p["date"].replace(tzinfo=dt.timezone.utc) for p in pages
+        ]
         assert rows[4]["status"] == 301
         assert rows[4]["location"] == "https://h0.example/r/4"
 
@@ -115,7 +119,15 @@ def test_read_warc_distributed(spark, tmp_path):
     # a non-WARC file in the directory is ignored by the glob
     (tmp_path / "_SUCCESS").write_bytes(b"")
 
-    got = warc.read_warc(spark, str(tmp_path)).orderBy("url").collect()
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    got = (
+        warc.read_warc(spark, str(tmp_path))
+        # render the stored instant as its UTC wall time so the assertion
+        # holds under any session timezone
+        .withColumn("warc_ts", F.to_utc_timestamp("warc_ts", tz))
+        .orderBy("url")
+        .collect()
+    )
     assert [r["url"] for r in got] == sorted(p["url"] for p in pages)
     by_url = {r["url"]: r for r in got}
     for p in pages:
@@ -223,6 +235,98 @@ def test_write_warc_files_empty_partitions(spark, tmp_path):
     files = [f for f in os.listdir(out) if f.endswith(".warc.gz")]
     assert len(files) == len(stats)  # empty partitions left no file
     assert len(list(warc.read_warc(spark, out).collect())) == 1
+
+
+def test_non_ascii_uri_roundtrip():
+    """WARC-Target-URI is UTF-8 (ISO 28500): IRIs survive write → parse."""
+    url = "https://ex.ample/café/π?q=день"
+    blob = warc.build_warc([{"url": url, "body": b"x"}])
+    rows = list(warc.iter_response_rows("f", blob))
+    assert rows[0]["url"] == url
+
+
+def test_tolerant_warc_date_forms():
+    """WARC/1.1 fractional seconds and explicit offsets parse (warcio,
+    wget, IA tooling emit them); all normalize to aware UTC."""
+    import datetime as dt
+
+    d1 = warc._parse_warc_date("2023-01-01T00:00:00.123456Z")
+    assert d1.microsecond == 123456 and d1.tzinfo is not None
+    d2 = warc._parse_warc_date("2023-01-01T02:00:00+02:00")
+    assert d2 == dt.datetime(2023, 1, 1, 0, 0, 0, tzinfo=dt.timezone.utc)
+    # microseconds survive a write → parse round trip
+    orig = dt.datetime(2024, 5, 1, 1, 2, 3, 456789)
+    blob = warc.build_warc([{"url": "https://a/x", "body": b"b", "date": orig}])
+    got = list(warc.iter_response_rows("f", blob))[0]["warc_ts"]
+    assert got == orig.replace(tzinfo=dt.timezone.utc)
+
+
+def test_msgtype_parameter_is_optional():
+    """'Content-Type: application/http' without msgtype is legal — the
+    record must still ingest; an explicit non-response msgtype skips."""
+    http = warc.build_http_response(b"hello")
+    rec_plain = warc.build_record(
+        "response", "application/http", http,
+        target_uri="https://a.example/p",
+    )
+    rec_req = warc.build_record(
+        "response", "application/http; msgtype=request", http,
+        target_uri="https://a.example/q",
+    )
+    rows = list(warc.iter_response_rows("f", rec_plain + rec_req))
+    assert [r["url"] for r in rows] == ["https://a.example/p"]
+
+
+def test_sink_skips_null_status_rows(spark, tmp_path):
+    """A failed fetch (status NULL) observed no HTTP transaction: it must
+    not be fabricated into a 200 response — skipped and counted."""
+    rows = [
+        ("https://a.example/ok", b"<html/>", 200, None, "text/html", None),
+        ("https://a.example/err", None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "url string, html binary, status int, location string, "
+        "content_type string, warc_ts timestamp",
+    ).coalesce(1)
+    out = str(tmp_path / "arch3")
+    stats = warc.write_warc_files(df, out).collect()
+    assert len(stats) == 1
+    assert stats[0]["n_records"] == 1 and stats[0]["n_skipped"] == 1
+    got = warc.read_warc(spark, out).collect()
+    assert [r["url"] for r in got] == ["https://a.example/ok"]
+
+
+def test_sink_warc_date_is_utc_instant(spark, tmp_path):
+    """The archived WARC-Date is the true UTC instant even under a
+    non-UTC session timezone, and read_warc restores the same instant."""
+    import datetime as dt
+
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        # epoch 1700000000 = 2023-11-14 22:13:20 UTC
+        df = spark.sql(
+            "SELECT 'https://a.example/t' AS url, "
+            "CAST(X'3C68746D6C2F3E' AS BINARY) AS html, 200 AS status, "
+            "CAST(NULL AS STRING) AS location, 'text/html' AS content_type, "
+            "to_timestamp(from_unixtime(1700000000)) AS warc_ts"
+        ).coalesce(1)
+        out = str(tmp_path / "arch-tz")
+        warc.write_warc_files(df, out).collect()
+        import glob
+        import gzip as _gz
+
+        raw = _gz.decompress(
+            open(glob.glob(out + "/*.warc.gz")[0], "rb").read()
+        )
+        assert b"WARC-Date: 2023-11-14T22:13:20Z" in raw
+        back = warc.read_warc(spark, out).select(
+            F.unix_timestamp("warc_ts").alias("epoch")
+        ).collect()
+        assert back[0]["epoch"] == 1700000000
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
 
 
 def test_read_warc_stream_exactly_once(spark, tmp_path):
