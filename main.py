@@ -78,6 +78,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "bucketed exact anti-join is the measured-fastest "
                         "gate — BENCH/BASELINE.md 'Bloom prefilter policy'; "
                         "cuckoo additionally forgets expiry-requeued URLs)")
+    p.add_argument("--warc", default=None, metavar="DIR",
+                   help="replay-crawl a WARC archive directory: the web is "
+                        "the archive (sources/warc.py ingest feeding the "
+                        "fetch join; absent URLs are 404s)")
+    p.add_argument("--seed-sitemaps", default=None, metavar="DIR",
+                   help="harvest sitemap.xml/.gz snapshots in DIR: <loc> "
+                        "entries become seeds and <priority> becomes the "
+                        "authority score ordering politeness waves")
     p.add_argument("--priority-scores", default=None, metavar="PARQUET",
                    help="opt-in authority-ordered scheduling: a parquet "
                         "table (url_hash, score) — e.g. graph.pagerank over "
@@ -103,10 +111,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
 
     if args.http:
         fetcher = HttpFetcher()
+    elif args.warc:
+        from jcrawler_spark.sources import warc as warc_mod
+
+        fetcher = SyntheticFetcher(
+            warc_mod.to_pages(warc_mod.read_warc(spark, args.warc))
+        )
     elif args.corpus:
         fetcher = SyntheticFetcher(spark.read.parquet(args.corpus))
     else:
-        print("error: --corpus or --http required", file=sys.stderr)
+        print("error: --corpus, --warc or --http required", file=sys.stderr)
         return 2
     if args.cache_from:
         cache_pages = SnapshotStore(args.cache_from, spark).read("pages")
@@ -132,9 +146,35 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             "cuckoo" if args.seen_filter == "cuckoo" else "bloom"
         ),
     )
+    # sitemap seeding: harvest snapshot files into (url, score) seeds —
+    # the collect is the one O(seeds) driver step the engine already has
+    # (engine.seed); <priority> doubles as the authority score
+    sitemap_seed_urls: list[str] = []
+    sitemap_scores = None
+    if args.seed_sitemaps:
+        from pyspark.sql import functions as F
+
+        from jcrawler_spark.operators import sitemap as sitemap_mod
+
+        snaps = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "*.xml*")
+            .load(args.seed_sitemaps)
+            .select(F.col("path").alias("url"), F.col("content").alias("body"))
+        )
+        seeds_df = sitemap_mod.seeds_from_entries(
+            sitemap_mod.harvest_sitemaps(snaps)
+        )
+        srows = seeds_df.collect()
+        sitemap_seed_urls = sorted(r["url"] for r in srows)
+        sitemap_scores = seeds_df.select("url_hash", "score")
+        print(f"seeded {len(sitemap_seed_urls)} URLs from sitemaps")
+
     eng = CrawlEngine(spark, cfg, fetcher, args.state)
     if args.priority_scores:
         eng.set_priority_scores(spark.read.parquet(args.priority_scores))
+    elif sitemap_scores is not None:
+        eng.set_priority_scores(sitemap_scores)
     if args.resume:
         eng.resume()
         requeued = eng.requeue_expired()  # --expire horizon on the logical clock
@@ -142,7 +182,10 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             print(f"requeued {requeued} expired pages (expire={args.expire}s)")
         stats = eng.run(seeds=None, max_supersteps=args.max_supersteps)
     else:
-        stats = eng.run(seeds=args.urls, max_supersteps=args.max_supersteps)
+        stats = eng.run(
+            seeds=list(args.urls) + sitemap_seed_urls,
+            max_supersteps=args.max_supersteps,
+        )
 
     # ---- result sink, reference format (JCrawler.java:672-694) ----
     ignored = eng.ignored_domains()

@@ -385,3 +385,94 @@ def test_cli_priority_scores_flag(spark, tmp_path):
     ]
     assert emitted[0] == base_order[0]
     assert emitted[1] == target
+
+
+def test_cli_warc_replay_matches_corpus(spark, tmp_path):
+    """--warc DIR: a crawl replayed from an archive emits the identical
+    URL set + order as the same crawl over the parquet corpus."""
+    import main as cli
+
+    from jcrawler_spark.plans.tableio import SnapshotStore
+    from jcrawler_spark.sources import warc as warc_mod
+
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write_pages(spark, corpus_path, N, H, partitions=4)
+    archive = str(tmp_path / "archive")
+    warc_mod.write_warc_files(
+        spark.read.parquet(corpus_path).repartition(3), archive
+    ).collect()
+
+    def run(extra, state):
+        rc = cli.main(
+            [
+                corpus.url_of(0, H),
+                *[x for i in range(H) for x in ("--accept", f"host{i}.example")],
+                *extra,
+                "--state", state,
+                "--maxDocs", "30",
+                "--maxConnections", "0",
+                "--max-supersteps", "12",
+            ],
+            stop_session=False,
+        )
+        assert rc == 0
+        pages = SnapshotStore(state, spark).read("pages")
+        return [
+            r.url
+            for r in pages.orderBy("superstep", "order_key")
+            .select("url").collect()
+        ]
+
+    base = run(["--corpus", corpus_path], str(tmp_path / "st-corpus"))
+    replay = run(["--warc", archive], str(tmp_path / "st-warc"))
+    assert base == replay and len(base) == 30
+
+
+def test_cli_seed_sitemaps(spark, tmp_path, capsys):
+    """--seed-sitemaps DIR: <loc> entries become extra seeds and
+    <priority> orders the first waves (highest authority first)."""
+    import main as cli
+
+    from jcrawler_spark.operators import sitemap as sitemap_mod
+    from jcrawler_spark.plans.tableio import SnapshotStore
+
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write_pages(spark, corpus_path, N, H, partitions=4)
+    # two sitemap seeds with opposite priorities; neither is the
+    # positional seed
+    hot, cold = corpus.url_of(5, H), corpus.url_of(6, H)
+    smdir = tmp_path / "sitemaps"
+    smdir.mkdir()
+    (smdir / "sitemap.xml").write_bytes(
+        sitemap_mod.build_urlset(
+            [
+                {"loc": cold, "priority": 0.2},
+                {"loc": hot, "priority": 0.9},
+            ]
+        )
+    )
+    state = str(tmp_path / "st-sm")
+    rc = cli.main(
+        [
+            corpus.url_of(0, H),
+            *[x for i in range(H) for x in ("--accept", f"host{i}.example")],
+            "--corpus", corpus_path,
+            "--seed-sitemaps", str(smdir),
+            "--state", state,
+            "--maxDocs", "20",
+            "--maxConnections", "1",
+            "--max-supersteps", "25",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    assert "seeded 2 URLs from sitemaps" in capsys.readouterr().out
+    pages = SnapshotStore(state, spark).read("pages")
+    emitted = [
+        r.url
+        for r in pages.orderBy("superstep", "order_key").select("url").collect()
+    ]
+    # all three seeds crawled; the high-priority sitemap seed beats the
+    # low-priority one in the schedule (wave budget 1)
+    assert {corpus.url_of(0, H), hot, cold} <= set(emitted)
+    assert emitted.index(hot) < emitted.index(cold)
