@@ -86,6 +86,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="harvest sitemap.xml/.gz snapshots in DIR: <loc> "
                         "entries become seeds and <priority> becomes the "
                         "authority score ordering politeness waves")
+    p.add_argument("--export-warc", default=None, metavar="DIR",
+                   help="after the crawl, archive the fetched pages as "
+                        "one .warc.gz per partition in DIR (crawl metadata "
+                        "joined back to the source bodies) — interchanges "
+                        "with --warc replay and Common-Crawl tooling; "
+                        "needs a bodies source (--corpus or --warc)")
     p.add_argument("--priority-scores", default=None, metavar="PARQUET",
                    help="opt-in authority-ordered scheduling: a parquet "
                         "table (url_hash, score) — e.g. graph.pagerank over "
@@ -109,18 +115,25 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     if args.synthesize and args.corpus:
         corpus_mod.write_pages(spark, args.corpus, args.synthesize)
 
+    source_pages = None  # bodies table, when the source retains one
     if args.http:
         fetcher = HttpFetcher()
     elif args.warc:
         from jcrawler_spark.sources import warc as warc_mod
 
-        fetcher = SyntheticFetcher(
-            warc_mod.to_pages(warc_mod.read_warc(spark, args.warc))
-        )
+        source_pages = warc_mod.to_pages(warc_mod.read_warc(spark, args.warc))
+        fetcher = SyntheticFetcher(source_pages)
     elif args.corpus:
-        fetcher = SyntheticFetcher(spark.read.parquet(args.corpus))
+        source_pages = spark.read.parquet(args.corpus)
+        fetcher = SyntheticFetcher(source_pages)
     else:
         print("error: --corpus, --warc or --http required", file=sys.stderr)
+        return 2
+    if args.export_warc and source_pages is None:
+        # the state store is deliberately html-free (metadata + links), so
+        # an archive export needs the source bodies to join back against
+        print("error: --export-warc needs a bodies source (--corpus or "
+              "--warc)", file=sys.stderr)
         return 2
     if args.cache_from:
         cache_pages = SnapshotStore(args.cache_from, spark).read("pages")
@@ -205,6 +218,36 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         "ignoredExternalDomains": sorted(ignored),
         "stats": {"totalLinks": eng.emitted_count, "supersteps": len(stats)},
     }
+    # ---- WARC export: archive exactly the pages this crawl fetched ----
+    # Crawl metadata (latest observation per URL — expiry re-fetch appends
+    # a fresh row) joined back to the source bodies on url: at corpus
+    # scale this is the fetch join's one-sided shape against a bucketed
+    # pages table (operators/fetch.py docstring); rows the engine skipped
+    # (no HTTP transaction) carry NULL status and are excluded up front.
+    if args.export_warc:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from jcrawler_spark.sources import warc as warc_mod
+
+        meta = SnapshotStore(args.state, spark).read("pages")
+        latest = Window.partitionBy("url").orderBy(
+            F.desc("superstep"), F.desc("order_key")
+        )
+        crawled = (
+            meta.where(F.col("status").isNotNull())
+            .withColumn("_rn", F.row_number().over(latest))
+            .where(F.col("_rn") == 1)
+            .select("url", "status", "location", "content_type")
+        )
+        export = crawled.join(
+            source_pages.select("url", "html", "warc_ts"), "url", "left"
+        )
+        sink_stats = warc_mod.write_warc_files(export, args.export_warc).collect()
+        n_arch = sum(r["n_records"] for r in sink_stats)
+        print(f"archived {n_arch} records to {args.export_warc} "
+              f"({len(sink_stats)} files)")
+
     result_path = os.path.join(args.state, ".crawl-result.json")
     os.makedirs(args.state, exist_ok=True)
     with open(result_path, "w") as f:

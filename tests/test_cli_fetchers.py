@@ -428,6 +428,83 @@ def test_cli_warc_replay_matches_corpus(spark, tmp_path):
     assert base == replay and len(base) == 30
 
 
+def test_cli_export_warc_roundtrip(spark, tmp_path, capsys):
+    """--export-warc DIR archives exactly the fetched pages; a replay
+    crawl from the export emits the identical URL sequence, and archived
+    bodies are byte-identical to the corpus html."""
+    import main as cli
+
+    from jcrawler_spark.plans.tableio import SnapshotStore
+    from jcrawler_spark.sources import warc as warc_mod
+
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write_pages(spark, corpus_path, N, H, partitions=4)
+
+    def run(extra, state):
+        rc = cli.main(
+            [
+                corpus.url_of(0, H),
+                *[x for i in range(H) for x in ("--accept", f"host{i}.example")],
+                *extra,
+                "--state", state,
+                "--maxDocs", "25",
+                "--maxConnections", "0",
+                "--max-supersteps", "10",
+            ],
+            stop_session=False,
+        )
+        assert rc == 0
+        pages = SnapshotStore(state, spark).read("pages")
+        return [
+            r.url
+            for r in pages.orderBy("superstep", "order_key")
+            .select("url").collect()
+        ]
+
+    export = str(tmp_path / "export")
+    base = run(
+        ["--corpus", corpus_path, "--export-warc", export],
+        str(tmp_path / "st-orig"),
+    )
+    assert "archived " in capsys.readouterr().out
+
+    # archived bodies == corpus bodies for every archived 200 URL
+    arch = warc_mod.to_pages(warc_mod.read_warc(spark, export))
+    mismatched = (
+        arch.where(F.col("status") == 200)
+        .alias("a")
+        .join(
+            spark.read.parquet(corpus_path).alias("c"),
+            F.col("a.url") == F.col("c.url"),
+        )
+        .where(F.col("a.html") != F.col("c.html"))
+        .count()
+    )
+    assert mismatched == 0
+    assert set(r.url for r in arch.select("url").collect()) == set(base)
+
+    replay = run(["--warc", export], str(tmp_path / "st-replay"))
+    assert replay == base and len(base) == 25
+
+
+def test_cli_export_warc_requires_bodies_source(tmp_path, capsys):
+    """--export-warc with --http is refused up front: the state store is
+    html-free, so there is nothing to archive."""
+    import main as cli
+
+    rc = cli.main(
+        [
+            "https://host0.example/p/0/0",
+            "--http",
+            "--export-warc", str(tmp_path / "exp"),
+            "--state", str(tmp_path / "st"),
+        ],
+        stop_session=False,
+    )
+    assert rc == 2
+    assert "bodies source" in capsys.readouterr().err
+
+
 def test_cli_seed_sitemaps(spark, tmp_path, capsys):
     """--seed-sitemaps DIR: <loc> entries become extra seeds and
     <priority> orders the first waves (highest authority first)."""
