@@ -148,6 +148,111 @@ SELECT doc_id, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
 FROM (SELECT doc_id, {_URL_SQL} AS url FROM documents)
 """
 
+# SURT fixture URLs: every structural branch of the transform — www + port +
+# unsorted multi-param query + fragment, userinfo, all-uppercase, bare host
+# (no path), no authority at all, and a dangling '?'.
+_SURT_URL_SQL = (
+    "(CASE doc_id % 6"
+    " WHEN 0 THEN 'https://www.docs' || (doc_id % 7) || '.example:8080/'"
+    "   || source || '/doc-' || doc_id || '?b=' || doc_id || '&a=1#frag'"
+    " WHEN 1 THEN 'http://u:p@sub.docs' || (doc_id % 7) || '.example/doc-'"
+    "   || doc_id"
+    " WHEN 2 THEN 'HTTPS://WWW.DOCS' || (doc_id % 7) || '.EXAMPLE/UP/'"
+    "   || doc_id || '?Z=9&A=' || doc_id"
+    " WHEN 3 THEN 'https://docs' || (doc_id % 7) || '.example'"
+    " WHEN 4 THEN 'doc-' || doc_id || '/relative?x=1'"
+    " ELSE 'https://docs' || (doc_id % 7) || '.example/p?' END)"
+)
+
+
+def _surt_url_col() -> F.Column:
+    d = F.col("doc_id").cast("string")
+    h = (F.col("doc_id") % 7).cast("string")
+    return (
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.lit("https://www.docs"), h, F.lit(".example:8080/"),
+                F.col("source"), F.lit("/doc-"), d, F.lit("?b="), d,
+                F.lit("&a=1#frag"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 1,
+            F.concat(
+                F.lit("http://u:p@sub.docs"), h, F.lit(".example/doc-"), d
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 2,
+            F.concat(
+                F.lit("HTTPS://WWW.DOCS"), h, F.lit(".EXAMPLE/UP/"), d,
+                F.lit("?Z=9&A="), d,
+            ),
+        )
+        .when(
+            F.col("doc_id") % 6 == 3,
+            F.concat(F.lit("https://docs"), h, F.lit(".example")),
+        )
+        .when(
+            F.col("doc_id") % 6 == 4,
+            F.concat(F.lit("doc-"), d, F.lit("/relative?x=1")),
+        )
+        .otherwise(F.concat(F.lit("https://docs"), h, F.lit(".example/p?")))
+    )
+
+
+def q_surt_key(spark, sf_dir):
+    """SURT canonical key (Common-Crawl cc-index / CDXJ interchange): the
+    sort-friendly URL transform every CDX consumer binary-searches archives
+    by — the key write_warc_files stamps into its .cdxj companions
+    (sources/warc.py). Pure Column form (urlops.surt_col: regex/array
+    built-ins, whole-stage codegen); the oracle re-derives the transform
+    step-by-step in DuckDB list/regexp functions."""
+    docs = _t(spark, sf_dir, "documents").withColumn("url", _surt_url_col())
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("url"),
+        urlops.surt_col(F.col("url")).alias("surt"),
+    )
+
+
+_SURT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, url,
+         regexp_replace(lower(trim(url)), '#.*$', '') AS u
+  FROM (SELECT doc_id, {_SURT_URL_SQL} AS url FROM documents)
+), a AS (
+  SELECT doc_id, url, u,
+         regexp_matches(u, '^[a-z][a-z0-9+.-]*://') AS has_auth,
+         regexp_replace(
+           regexp_extract(u, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1),
+           '^.*@', '') AS auth,
+         regexp_replace(u, '^[a-z][a-z0-9+.-]*://[^/?#]*', '') AS rest
+  FROM t
+), b AS (
+  SELECT doc_id, url, u, has_auth, rest,
+         regexp_extract(auth, '(:[0-9]+)$', 1) AS port,
+         regexp_replace(
+           regexp_replace(auth, ':[0-9]+$', ''), '^www\\.', '') AS host,
+         CASE WHEN regexp_replace(rest, '\\?.*$', '') = '' THEN '/'
+              ELSE regexp_replace(rest, '\\?.*$', '') END AS path,
+         CASE WHEN contains(rest, '?')
+              THEN regexp_extract(rest, '\\?(.*)$', 1) ELSE '' END AS q
+  FROM a
+)
+SELECT doc_id, url,
+  CASE WHEN has_auth THEN
+    (CASE WHEN host = '' THEN ''
+          ELSE array_to_string(list_reverse(string_split(host, '.')), ',')
+     END) || port || ')' || path ||
+    (CASE WHEN q = '' THEN ''
+          ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+     END)
+  ELSE u END AS surt
+FROM b
+"""
+
 _LINK_SQL = (
     "(CASE doc_id % 4"
     " WHEN 0 THEN 'https://ok.example/' || doc_id"
@@ -1881,6 +1986,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_hash": q_url_hash,
         "slug_path": q_slug_path,
         "host_extract": q_host_extract,
+        "surt_key": q_surt_key,
         "protocol_filter": q_protocol_filter,
         "resource_classify": q_resource_classify,
         "seed_range": q_seed_range,
@@ -1929,6 +2035,7 @@ def oracle_sql() -> dict[str, str]:
         "url_hash": _URL_HASH_SQL,
         "slug_path": _SLUG_PATH_SQL,
         "host_extract": _HOST_SQL,
+        "surt_key": _SURT_SQL,
         "protocol_filter": _PROTOCOL_SQL,
         "resource_classify": _RESOURCE_SQL,
         "seed_range": _SEED_RANGE_SQL,

@@ -305,6 +305,76 @@ def unsupported_protocol_col(url: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# SURT canonical key (Common-Crawl cc-index / CDXJ interchange)
+# ---------------------------------------------------------------------------
+#
+# Sort-friendly URI Reordering Transform: the key the Common-Crawl index
+# (and every CDX-consuming tool: pywb, OpenWayback, cdxj-indexer) sorts and
+# binary-searches archives by.  Rules implemented (and shared verbatim by
+# the Column form, the pure-Python twin used inside the WARC sink, and the
+# DuckDB oracle SQL, so all three stay provably in lockstep):
+#   lowercase -> drop fragment -> drop userinfo -> drop a leading 'www.'
+#   label -> reverse remaining host labels joined with ',' -> keep an
+#   explicit ':port' -> ')' separator -> path ('/' when empty) -> query
+#   with its '&'-separated params sorted bytewise.
+# Divergence from the full urlcanon library (documented, DIVERGENCES.md):
+# no IDN/percent-encoding normalization and no session-param stripping —
+# those are policy layers; the transform here is the structural key.
+
+_SURT_AUTH_RE = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]*)")
+
+
+def surt(url: str) -> str:
+    """Pure twin of surt_col (used record-at-a-time inside the WARC sink,
+    where rows are already in Python); pytest pins surt == surt_col."""
+    u = url.strip().lower()
+    u = u.split("#", 1)[0]
+    m = _SURT_AUTH_RE.match(u)
+    if not m:
+        return u  # no authority (relative/opaque): key is the string itself
+    auth = m.group(1).rsplit("@", 1)[-1]
+    host, port = auth, ""
+    pm = re.search(r":([0-9]+)$", auth)  # ASCII digits, like the Java regex
+    if pm:
+        host, port = auth[: pm.start()], auth[pm.start():]
+    if host.startswith("www."):
+        host = host[4:]
+    rev = ",".join(reversed(host.split("."))) if host else ""
+    rest = u[m.end():]
+    path = rest.split("?", 1)[0] or "/"
+    query = rest.split("?", 1)[1] if "?" in rest else ""
+    qpart = "?" + "&".join(sorted(query.split("&"))) if query else ""
+    return f"{rev}{port}){path}{qpart}"
+
+
+def surt_col(url: Column) -> Column:
+    """JVM Column form of surt(): regex/array built-ins only, stays inside
+    whole-stage codegen — the shape a 10^10-row index build needs."""
+    u = F.regexp_replace(F.lower(F.trim(url)), r"(?s)#.*$", "")
+    auth = F.regexp_extract(u, r"^[a-z][a-z0-9+.-]*://([^/?#]*)", 1)
+    has_auth = u.rlike(r"^[a-z][a-z0-9+.-]*://")
+    auth = F.regexp_replace(auth, r"^.*@", "")
+    port = F.regexp_extract(auth, r"(:[0-9]+)$", 1)
+    host = F.regexp_replace(auth, r":[0-9]+$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev = F.when(host == "", F.lit("")).otherwise(
+        F.concat_ws(",", F.reverse(F.split(host, r"\.")))
+    )
+    rest = F.regexp_replace(u, r"^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_replace(rest, r"(?s)\?.*$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        rest.contains("?"), F.regexp_extract(rest, r"(?s)\?(.*)$", 1)
+    ).otherwise(F.lit(""))
+    qpart = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.concat_ws("&", F.array_sort(F.split(query, "&"))))
+    )
+    return F.when(
+        has_auth, F.concat(rev, port, F.lit(")"), path, qpart)
+    ).otherwise(u)
+
+
+# ---------------------------------------------------------------------------
 # Legacy migration Arrow surface
 # ---------------------------------------------------------------------------
 #

@@ -28,6 +28,7 @@ a truncated archive must never silently drop tail records.
 
 from __future__ import annotations
 
+import base64
 import datetime as _dt
 import gzip
 import hashlib
@@ -453,7 +454,8 @@ WARC_SINK_STATS = T.StructType(
 
 
 def write_warc_files(
-    df: DataFrame, path: str, *, gzip_per_record: bool = True
+    df: DataFrame, path: str, *, gzip_per_record: bool = True,
+    cdx: bool = True,
 ) -> DataFrame:
     """WARC sink: archive a pages-shaped table (url, html, status,
     location, content_type, warc_ts) as one .warc.gz per partition —
@@ -471,14 +473,29 @@ def write_warc_files(
     instant regardless of the session timezone (converted JVM-side
     before the Arrow handoff).
 
+    ``cdx=True`` (default) additionally writes one ``part-XXXXX.cdxj``
+    companion per archive file in the same pass — the Common-Crawl
+    cc-index / pywb interchange format: one line per record,
+    ``<surt-key> <ts14> <json>`` with the json carrying url, mime,
+    status, sha-1 payload digest, and the (offset, length) of the
+    record's own gzip member, so any CDX consumer (or fetch_records
+    here) range-reads a single record without scanning the archive.
+    Lines are sorted by key within the file (CDX files are
+    binary-searchable by contract); read_warc's ``*.warc*`` glob ignores
+    the companions, so replay is unaffected. Index entries cost no
+    second scan — offsets are observed as the archive streams out.
+
     ``path`` must be executor-visible (shared/POSIX filesystem — true in
     local and local-cluster modes and on NFS/fuse mounts; an
     object-store deployment would swap the ``open()`` for an fsspec/
     Hadoop-FS handle, same streaming shape). Task retries are idempotent:
-    a retry truncates and rewrites its own part file."""
+    a retry truncates and rewrites its own part file(s)."""
+    import json as _json
     import os
 
     from pyspark import TaskContext
+
+    from jcrawler_spark.functions.urlops import surt as _surt
 
     cols = ["url", "html", "status", "location", "content_type", "warc_ts"]
 
@@ -489,6 +506,7 @@ def write_warc_files(
         )
         n = 0
         n_skipped = 0
+        cdx_lines: list[str] = []
         with open(fname, "wb") as f:
             for pdf in it:
                 for url, html, status, ctype, loc, ts in zip(
@@ -498,28 +516,54 @@ def write_warc_files(
                     if pd.isna(status):
                         n_skipped += 1  # no HTTP transaction to archive
                         continue
+                    body = bytes(html) if html is not None else b""
+                    mime = (
+                        ctype
+                        if isinstance(ctype, str) and ctype
+                        else "text/html; charset=utf-8"
+                    )
                     http = build_http_response(
-                        bytes(html) if html is not None else b"",
+                        body,
                         status=int(status),
-                        content_type=(
-                            ctype
-                            if isinstance(ctype, str) and ctype
-                            else "text/html; charset=utf-8"
-                        ),
+                        content_type=mime,
                         location=None if not isinstance(loc, str) else loc,
                     )
+                    date = None if pd.isna(ts) else ts.to_pydatetime()
                     rec = build_record(
                         "response",
                         "application/http; msgtype=response",
                         http,
                         target_uri=url,
-                        date=None if pd.isna(ts) else ts.to_pydatetime(),
+                        date=date,
                     )
+                    offset = f.tell()
                     f.write(
                         gzip.compress(rec, compresslevel=6, mtime=0)
                         if gzip_per_record
                         else rec
                     )
+                    if cdx:
+                        ts14 = (
+                            date.strftime("%Y%m%d%H%M%S")
+                            if date is not None
+                            else "00000000000000"
+                        )
+                        meta = {
+                            "url": url,
+                            "mime": mime.split(";", 1)[0].strip(),
+                            "status": int(status),
+                            "digest": "sha1:"
+                            + base64.b32encode(
+                                hashlib.sha1(body).digest()
+                            ).decode("ascii"),
+                            "length": f.tell() - offset,
+                            "offset": offset,
+                            "filename": os.path.basename(fname),
+                        }
+                        cdx_lines.append(
+                            f"{_surt(url)} {ts14} "
+                            + _json.dumps(meta, sort_keys=True)
+                        )
                     n += 1
             size = f.tell()
         if n == 0:
@@ -527,6 +571,10 @@ def write_warc_files(
             if n_skipped == 0:
                 return
             size = 0
+        elif cdx:
+            ixname = os.path.join(path, f"part-{pid:05d}.cdxj")
+            with open(ixname, "w", encoding="utf-8") as ix:
+                ix.write("\n".join(sorted(cdx_lines)) + "\n")
         yield pd.DataFrame(
             [(fname, n, size, n_skipped)],
             columns=[x.name for x in WARC_SINK_STATS.fields],
@@ -542,6 +590,121 @@ def write_warc_files(
         F.to_utc_timestamp(F.col("warc_ts"), session_tz).alias("warc_ts"),
     )
     return src.mapInPandas(gen, schema=WARC_SINK_STATS)
+
+
+# ---------------------------------------------------------------------------
+# CDX index (cc-index / CDXJ interchange)
+# ---------------------------------------------------------------------------
+
+CDX_ROWS = T.StructType(
+    [
+        T.StructField("surt", T.StringType(), False),
+        T.StructField("ts14", T.StringType(), True),
+        T.StructField("url", T.StringType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("status", T.IntegerType(), True),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("length", T.LongType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("filename", T.StringType(), True),
+    ]
+)
+
+_CDX_JSON = (
+    "url string, mime string, status int, digest string, "
+    "length long, offset long, filename string"
+)
+
+
+def read_cdx(spark: SparkSession, path: str) -> DataFrame:
+    """Read .cdxj companion files into CDX_ROWS — entirely JVM-side
+    (text source → split → from_json, no Python in the plan). The result
+    is the archive's lookup table: join/filter on ``surt`` (or url), then
+    fetch_records range-reads exactly the matching records. At cc-index
+    scale a global ``sortWithinPartitions(surt)`` after a range
+    repartition reproduces the sharded ZipNum layout."""
+    lines = (
+        spark.read.option("pathGlobFilter", "*.cdxj")
+        .text(path)
+        .where(F.length("value") > 0)
+    )
+    parts = F.split(F.col("value"), " ", 3)
+    meta = F.from_json(parts[2], _CDX_JSON)
+    return lines.select(
+        parts[0].alias("surt"),
+        parts[1].alias("ts14"),
+        meta["url"].alias("url"),
+        meta["mime"].alias("mime"),
+        meta["status"].alias("status"),
+        meta["digest"].alias("digest"),
+        meta["length"].alias("length"),
+        meta["offset"].alias("offset"),
+        meta["filename"].alias("filename"),
+    )
+
+
+def fetch_record(warc_dir: str, filename: str, offset: int, length: int) -> dict:
+    """Driver-side single-record random access: read exactly ``length``
+    bytes at ``offset`` (one gzip member, per the sink's CDX contract) and
+    parse it — the wayback-style replay primitive. Never reads the rest
+    of the archive."""
+    import os
+
+    with open(os.path.join(warc_dir, filename), "rb") as f:
+        f.seek(offset)
+        data = f.read(length)
+    rows = list(iter_response_rows(filename, data))
+    if len(rows) != 1:
+        raise ValueError(
+            f"expected 1 response record in {filename}@{offset}+{length}, "
+            f"got {len(rows)}"
+        )
+    return rows[0]
+
+
+def fetch_records(
+    cdx_df: DataFrame, warc_dir: str, *, batch_rows: int = 2048
+) -> DataFrame:
+    """Distributed random access: given CDX rows (filename, offset,
+    length — e.g. read_cdx filtered to the URLs of interest), seek-read
+    each record's own gzip member and emit WARC_ROWS. I/O is
+    O(selected records), not O(archive) — the point of the index; rows
+    are sorted by (filename, offset) within each partition so per-file
+    reads are sequential. Repartition by ``filename`` first when
+    selectivity is low and archives are hot."""
+    import os
+
+    from jcrawler_spark.arrowio import emit_batches
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def rows():
+            f = None
+            cur = None
+            try:
+                for pdf in it:
+                    for fname, off, ln in zip(
+                        pdf["filename"], pdf["offset"], pdf["length"]
+                    ):
+                        if fname != cur:
+                            if f is not None:
+                                f.close()
+                            f = open(os.path.join(warc_dir, fname), "rb")
+                            cur = fname
+                        f.seek(int(off))
+                        data = f.read(int(ln))
+                        yield from iter_response_rows(str(fname), data)
+            finally:
+                if f is not None:
+                    f.close()
+
+        return emit_batches(
+            rows(), [x.name for x in WARC_ROWS.fields], batch_rows
+        )
+
+    src = cdx_df.select("filename", "offset", "length").sortWithinPartitions(
+        "filename", "offset"
+    )
+    return src.mapInPandas(gen, schema=WARC_ROWS)
 
 
 def to_pages(df: DataFrame) -> DataFrame:

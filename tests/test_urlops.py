@@ -271,3 +271,54 @@ def test_content_path_initial_old_udf_matches_scalar(spark):
     for i, u in enumerate(urls):
         assert got[i] == urlops.content_path_initial_old(u)
     assert got[99] == (None, None)
+
+
+# ---------------------------------------------------------------------------
+# SURT canonical key (cc-index / CDXJ)
+# ---------------------------------------------------------------------------
+
+SURT_GOLDENS = [
+    # (url, expected key) — one per structural rule
+    ("https://www.Example.COM:8080/A/b?z=1&a=2#frag",
+     "com,example:8080)/a/b?a=2&z=1"),          # www + port + sorted query
+    ("http://user:pw@sub.host.org/p", "org,host,sub)/p"),  # userinfo drop
+    ("https://host0.example/", "example,host0)/"),
+    ("https://host0.example", "example,host0)/"),          # empty path -> /
+    ("https://h.example/p?", "example,h)/p"),              # dangling '?'
+    ("relative/path?x=1", "relative/path?x=1"),            # no authority
+    ("HTTPS://WWW.X.Y/Q?b=2&a=1&a=0", "y,x)/q?a=0&a=1&b=2"),
+]
+
+
+def test_surt_goldens():
+    for u, want in SURT_GOLDENS:
+        assert urlops.surt(u) == want, u
+
+
+@settings(max_examples=200, deadline=None)
+@given(_urlish)
+def test_surt_total_and_idempotent_on_keys(u):
+    k = urlops.surt(u)
+    assert isinstance(k, str)  # total: never throws
+
+
+def test_surt_col_matches_pure(spark):
+    """The JVM Column form and the pure twin (used inside the WARC sink's
+    CDX emission) produce identical keys — the three-way lockstep's
+    Spark↔Python leg (Spark↔DuckDB is the surt_key contract oracle)."""
+    import pyspark.sql.functions as F
+
+    urls = [u for u, _ in SURT_GOLDENS] + [
+        "https://a.example/x?single",
+        "http://a.b.c.d:65535/deep/path/?q=%20&q=+",
+        "https:///no-host/path",
+        "ftp://files.example/pub",
+        "https://example.com/#onlyfrag",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["s"]
+        for r in df.select(urlops.surt_col(F.col("url")).alias("s"))
+        .collect()
+    ]
+    assert got == [urlops.surt(u) for u in urls]

@@ -372,3 +372,86 @@ def test_to_pages_projection(spark, tmp_path):
     from jcrawler_spark import schemas
 
     assert names == [f.name for f in schemas.PAGES.fields]
+
+
+# ---------------------------------------------------------------------------
+# CDX index (cc-index / CDXJ companions)
+# ---------------------------------------------------------------------------
+
+
+def test_cdx_companions_roundtrip_and_random_access(spark, tmp_path):
+    """write_warc_files emits one sorted .cdxj per archive file in the same
+    pass; read_cdx parses them JVM-side; fetch_records range-reads exactly
+    the selected records byte-identically (the wayback-replay primitive)."""
+    import json
+    import os
+
+    from jcrawler_spark import corpus
+    from jcrawler_spark.functions.urlops import surt
+
+    pages = corpus.build_pages_df(spark, 60, 4, partitions=4)
+    out = str(tmp_path / "archive")
+    stats = warc.write_warc_files(pages.repartition(3), out).collect()
+    cdxj = sorted(f for f in os.listdir(out) if f.endswith(".cdxj"))
+    assert len(cdxj) == len(stats) == 3  # one companion per archive file
+
+    # lines are sorted within each file (CDX binary-search contract), keys
+    # are the shared surt() of the json url, offsets tile the archive
+    for fn in cdxj:
+        lines = (tmp_path / "archive" / fn).read_text().splitlines()
+        assert lines and lines == sorted(lines)
+        seen = []
+        for ln in lines:
+            key, ts14, meta = ln.split(" ", 2)
+            meta = json.loads(meta)
+            assert key == surt(meta["url"])
+            assert len(ts14) == 14 and ts14.isdigit()
+            assert meta["filename"] == fn.replace(".cdxj", ".warc.gz")
+            seen.append((meta["offset"], meta["length"]))
+        seen.sort()
+        assert seen[0][0] == 0  # first record starts at byte 0
+        for (o1, l1), (o2, _) in zip(seen, seen[1:]):
+            assert o1 + l1 == o2  # members tile with no gaps
+        size = os.path.getsize(tmp_path / "archive" / meta["filename"])
+        assert seen[-1][0] + seen[-1][1] == size
+
+    cdx = warc.read_cdx(spark, out)
+    assert cdx.count() == 60
+    # every archived URL indexed exactly once, digest/mime/status populated
+    row = cdx.where(F.col("status") == 200).first()
+    assert row["digest"].startswith("sha1:") and row["mime"] == "text/html"
+
+    # random access: fetch 5 urls through the index, bodies byte-identical
+    want = {
+        r["url"]: bytes(r["html"])
+        for r in pages.limit(5).select("url", "html").collect()
+    }
+    sel = cdx.where(F.col("url").isin(*want))
+    got = {
+        r["url"]: bytes(r["html"])
+        for r in warc.fetch_records(sel, out).collect()
+    }
+    assert got == want
+
+    # driver-side single-record fetch agrees
+    one = sel.first()
+    rec = warc.fetch_record(out, one["filename"], one["offset"], one["length"])
+    assert bytes(rec["html"]) == want[rec["url"]]
+
+    # the companions don't leak into replay: read_warc sees archives only
+    assert warc.read_warc(spark, out).count() == 60
+
+
+def test_cdx_opt_out(spark, tmp_path):
+    import os
+
+    rows = [("https://a.example/x", b"<html/>", 200, None,
+             "text/html", None)]
+    df = spark.createDataFrame(
+        rows,
+        "url string, html binary, status int, location string, "
+        "content_type string, warc_ts timestamp",
+    )
+    out = str(tmp_path / "arch3")
+    warc.write_warc_files(df, out, cdx=False).collect()
+    assert not [f for f in os.listdir(out) if f.endswith(".cdxj")]
