@@ -445,6 +445,58 @@ def main() -> None:
         f"map_in_pandas={n_map_warc}"
     )
 
+    # CDX index (sources/warc.py): the lookup side must be pure JVM —
+    # text scan → split/from_json project, ZERO Python nodes and ZERO
+    # Exchanges (a cc-index join is one-sided against this scan); the
+    # random-access fetch must be map-only — a local sort + ONE
+    # MapInPandas, no Exchange (I/O O(selected records), never a shuffle
+    # of archive bytes).
+    cdx_dir = tempfile.mkdtemp(prefix="plans-cdx-")
+    cdx_src = spark.createDataFrame(
+        [("https://a.example/x", bytearray(b"<html/>"), 200, None,
+          "text/html", None)],
+        "url string, html binary, status int, location string, "
+        "content_type string, warc_ts timestamp",
+    )
+    warc_ops.write_warc_files(cdx_src, cdx_dir).collect()
+    cdx_df = warc_ops.read_cdx(spark, cdx_dir)
+    cdx_plan = cdx_df._jdf.queryExecution().executedPlan().toString()
+    n_ex_cdx = len(re.findall(r"Exchange", cdx_plan))
+    n_py_cdx = len(
+        re.findall(r"MapInPandas|ArrowEvalPython|BatchEvalPython", cdx_plan)
+    )
+    assert n_ex_cdx == 0, f"read_cdx must not shuffle ({n_ex_cdx} Exchanges)"
+    assert n_py_cdx == 0, "read_cdx must stay JVM-side (no Python nodes)"
+    fetch_plan = (
+        warc_ops.fetch_records(cdx_df, cdx_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_ex_fetch = len(re.findall(r"Exchange", fetch_plan))
+    n_map_fetch = len(re.findall(r"MapInPandas", fetch_plan))
+    assert n_ex_fetch == 0, (
+        f"fetch_records must be map-only ({n_ex_fetch} Exchanges)"
+    )
+    assert n_map_fetch == 1, "fetch_records must read via one MapInPandas"
+    out.append(
+        "## cdx index: JVM-only lookup scan + map-only random access\n\n"
+        f"read_cdx: Exchanges={n_ex_cdx}, Python nodes={n_py_cdx} (both "
+        "must be 0 — the index scan is pure JVM, so a cc-index lookup "
+        "join is one-sided). fetch_records: Exchanges="
+        f"{n_ex_fetch} (must be 0), MapInPandas={n_map_fetch} (must be 1 "
+        "— seek-read of selected gzip members only).\n\n```\n"
+        + "\n".join(
+            ln.rstrip()[:110]
+            for ln in (cdx_plan + "\n" + fetch_plan).splitlines()
+            if re.search(r"Exchange|MapInPandas|Scan|Project|Sort", ln)
+        )
+        + "\n```\n"
+    )
+    summary.append(
+        f"- **cdx_paths**: lookup_exchanges={n_ex_cdx} "
+        f"lookup_python_nodes={n_py_cdx} fetch_exchanges={n_ex_fetch} "
+        f"fetch_map_in_pandas={n_map_fetch}"
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("\n".join(summary))
