@@ -1,0 +1,220 @@
+"""ZipNum-sharded global CDX index — the cc-index layout at archive scale.
+
+The per-file ``.cdxj`` companions ``write_warc_files`` emits
+(sources/warc.py) are locally sorted; a 100 TB archive has ~100k of them,
+so a URL lookup would still touch every file. Common Crawl's answer (and
+OpenWayback/pywb's) is the ZipNum cluster: ONE globally key-sorted index,
+stored as gzip-compressed blocks of N lines across a few hundred shard
+files, plus a tiny plain-text summary (``cluster.idx``) holding the first
+key of every block with its (shard, offset, length). A lookup
+binary-searches the summary in memory, then range-reads exactly one
+~N-line gzip block — two seeks for any URL in the archive, no Spark job.
+
+Spark-first build shape: ``read_cdx`` scan → ONE range-partitioning
+Exchange on the SURT key (Spark samples the key distribution, so shards
+come out balanced even though SURT keys are massively skewed toward big
+hosts) → in-partition sort → a map-only writer task per shard streaming
+gzip members to disk. The Exchange moves index LINES (~150 bytes each),
+never archive bytes: for a 10^10-record crawl that is ~1.5 TB through the
+shuffle — a routine sort — while the cluster.idx stays
+``records / block_lines`` lines (3.3M at the default 3000), a single
+executor-buildable text file.
+
+No reference analogue (the reference keeps its disk cache keyed by slug
+paths, Slug.java:198-233, and never needs cross-file lookup);
+DIVERGENCES.md #26 scopes the SURT key itself.
+"""
+
+from __future__ import annotations
+
+import bisect
+import gzip
+import json
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jcrawler_spark.sources import warc as warcmod
+
+CLUSTER_IDX = "cluster.idx"
+
+_BLOCK_ROWS = T.StructType(
+    [
+        T.StructField("first_key", T.StringType(), False),
+        T.StructField("filename", T.StringType(), False),
+        T.StructField("offset", T.LongType(), False),
+        T.StructField("length", T.LongType(), False),
+        T.StructField("n_lines", T.LongType(), False),
+    ]
+)
+
+
+def zipnum_plan(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    *,
+    shards: int | None = None,
+    block_lines: int = 3000,
+) -> DataFrame:
+    """The build as a lazy DataFrame (one summary row per written gzip
+    block) — split out so tools/explain_audit.py can assert the plan:
+    exactly ONE range-partitioning Exchange (index lines, never archive
+    bytes) and ONE MapInPandas (the shard writer)."""
+    os.makedirs(out_dir, exist_ok=True)
+    cdx = warcmod.read_cdx(spark, warc_dir)
+    keyed = cdx.select(
+        F.concat_ws(" ", "surt", "ts14").alias("key"),
+        F.to_json(
+            F.struct(
+                "url", "mime", "status", "digest",
+                "length", "offset", "filename",
+            )
+        ).alias("meta"),
+    )
+    if shards is not None:
+        keyed = keyed.repartitionByRange(shards, "key")
+    else:
+        keyed = keyed.repartitionByRange("key")
+    keyed = keyed.sortWithinPartitions("key")
+
+    def write_shard(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = f"shard-{pid:05d}.cdx.gz"
+        blocks: list[tuple[str, str, int, int, int]] = []
+        buf: list[str] = []
+
+        with open(os.path.join(out_dir, fname), "wb") as f:
+
+            def flush() -> None:
+                if not buf:
+                    return
+                off = f.tell()
+                f.write(
+                    gzip.compress(
+                        ("\n".join(buf) + "\n").encode("utf-8"),
+                        compresslevel=6, mtime=0,
+                    )
+                )
+                blocks.append(
+                    (buf[0].split("\t", 1)[0], fname, off,
+                     f.tell() - off, len(buf))
+                )
+                buf.clear()
+
+            for pdf in it:
+                for key, meta in zip(pdf["key"], pdf["meta"]):
+                    buf.append(f"{key}\t{meta}")
+                    if len(buf) >= block_lines:
+                        flush()
+            flush()
+        if not blocks:
+            os.remove(os.path.join(out_dir, fname))
+            return
+        yield pd.DataFrame(
+            blocks, columns=[x.name for x in _BLOCK_ROWS.fields]
+        )
+
+    return keyed.mapInPandas(write_shard, schema=_BLOCK_ROWS)
+
+
+def build_zipnum(
+    spark: SparkSession,
+    warc_dir: str,
+    out_dir: str,
+    *,
+    shards: int | None = None,
+    block_lines: int = 3000,
+) -> int:
+    """Build the ZipNum index for an archive directory carrying ``.cdxj``
+    companions. Writes ``shard-XXXXX.cdx.gz`` files (gzip members of
+    ``block_lines`` sorted index lines each) plus ``cluster.idx`` into
+    ``out_dir``; returns the total indexed record count.
+
+    The only wide operation is the range repartition on the index key;
+    everything after is partition-local. The summary rows returned by the
+    shard writers are one per BLOCK (not per record) — bounded driver
+    traffic by construction."""
+    os.makedirs(out_dir, exist_ok=True)
+    summary = zipnum_plan(
+        spark, warc_dir, out_dir, shards=shards, block_lines=block_lines
+    ).collect()
+    summary.sort(key=lambda r: r["first_key"])
+    with open(os.path.join(out_dir, CLUSTER_IDX), "w", encoding="utf-8") as f:
+        for r in summary:
+            f.write(
+                f"{r['first_key']}\t{r['filename']}\t{r['offset']}"
+                f"\t{r['length']}\n"
+            )
+    return sum(r["n_lines"] for r in summary)
+
+
+class ZipNumIndex:
+    """Driver-side reader over a built ZipNum directory: binary-search the
+    in-memory cluster.idx, range-read candidate gzip blocks, scan ≤
+    block_lines lines. Two to three seeks per lookup regardless of archive
+    size — the wayback/cc-index access path, no Spark session needed."""
+
+    def __init__(self, index_dir: str):
+        self.dir = index_dir
+        self._keys: list[str] = []
+        self._blocks: list[tuple[str, int, int]] = []
+        with open(os.path.join(index_dir, CLUSTER_IDX), encoding="utf-8") as f:
+            for line in f:
+                key, fname, off, ln = line.rstrip("\n").split("\t")
+                self._keys.append(key)
+                self._blocks.append((fname, int(off), int(ln)))
+        if not self._keys:
+            raise ValueError(f"empty {CLUSTER_IDX} in {index_dir}")
+
+    def _read_block(self, i: int) -> list[str]:
+        fname, off, ln = self._blocks[i]
+        with open(os.path.join(self.dir, fname), "rb") as f:
+            f.seek(off)
+            data = f.read(ln)
+        return gzip.decompress(data).decode("utf-8").splitlines()
+
+    def lookup(self, surt_key: str) -> list[dict]:
+        """All index entries whose SURT key equals ``surt_key`` (every
+        capture timestamp), as parsed dicts sorted by ts14. Keys sort as
+        '<surt> <ts14>' so a key's captures may straddle a block
+        boundary; scan forward from the first candidate block until keys
+        pass the target."""
+        # rightmost block whose first_key <= target (candidates start here)
+        i = bisect.bisect_right(self._keys, surt_key) - 1
+        if i < 0:
+            i = 0
+        out: list[dict] = []
+        target = surt_key + " "
+        while i < len(self._blocks):
+            done = False
+            for line in self._read_block(i):
+                key, meta = line.split("\t", 1)
+                if key.startswith(target):
+                    entry = json.loads(meta)
+                    entry["surt"], entry["ts14"] = key.split(" ", 1)
+                    out.append(entry)
+                elif key > target:
+                    done = True
+                    break
+            if done:
+                break
+            i += 1
+        out.sort(key=lambda e: e["ts14"])
+        return out
+
+    def fetch(self, warc_dir: str, surt_key: str) -> list[dict]:
+        """lookup + range-read each capture's WARC record — the full
+        replay primitive (index seek → block read → record read)."""
+        return [
+            warcmod.fetch_record(
+                warc_dir, e["filename"], e["offset"], e["length"]
+            )
+            for e in self.lookup(surt_key)
+        ]

@@ -1,0 +1,121 @@
+"""ZipNum-sharded global CDX index (sources/cdx.py): build over the
+per-file .cdxj companions, cluster.idx summary, binary-search lookup,
+block-boundary straddling captures, and the index → archive record fetch
+path (the cc-index / wayback access primitive)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import gzip
+import os
+
+from jcrawler_spark.functions.urlops import surt
+from jcrawler_spark.sources import cdx as cdxmod
+from jcrawler_spark.sources import warc
+
+
+def _archive(spark, tmp_path, rows):
+    pages = spark.createDataFrame(
+        rows,
+        "url string, html binary, status int, location string, "
+        "content_type string, warc_ts timestamp",
+    ).repartition(4)
+    arch = str(tmp_path / "archive")
+    warc.write_warc_files(pages, arch).collect()
+    return arch
+
+
+def test_zipnum_build_lookup_fetch(spark, tmp_path):
+    rows = [
+        (f"https://site{i % 5}.example/p/{i}",
+         bytearray(f"<html>{i}</html>".encode()), 200, None,
+         "text/html", dt.datetime(2026, 1, 1, 12, 0, i % 60))
+        for i in range(300)
+    ]
+    arch = _archive(spark, tmp_path, rows)
+    idx = str(tmp_path / "index")
+    n = cdxmod.build_zipnum(spark, arch, idx, shards=3, block_lines=25)
+    assert n == 300
+
+    zn = cdxmod.ZipNumIndex(idx)
+    for i in (0, 151, 299):
+        url = f"https://site{i % 5}.example/p/{i}"
+        entries = zn.lookup(surt(url))
+        assert [e["url"] for e in entries] == [url]
+        recs = zn.fetch(arch, surt(url))
+        assert bytes(recs[0]["html"]) == f"<html>{i}</html>".encode()
+
+    assert zn.lookup(surt("https://absent.example/x")) == []
+    # lookups beyond both ends of the key space
+    assert zn.lookup("aaa") == []
+    assert zn.lookup("zzz") == []
+
+    # the whole index, read block-by-block in cluster.idx order, is one
+    # globally sorted sequence covering every record exactly once
+    keys = []
+    with open(os.path.join(idx, cdxmod.CLUSTER_IDX)) as f:
+        summary = f.read().splitlines()
+    assert summary == sorted(summary)
+    for i in range(len(summary)):
+        for line in zn._read_block(i):
+            keys.append(line.split("\t", 1)[0])
+    assert keys == sorted(keys) and len(keys) == 300
+
+
+def test_zipnum_captures_straddle_blocks(spark, tmp_path):
+    """Many captures of ONE url with block_lines=2: the captures span
+    several gzip blocks (and possibly shards); lookup must walk forward
+    past block boundaries and return all of them, ts-sorted."""
+    url = "https://mid.example/page"
+    rows = [
+        ("https://aaa.example/1", bytearray(b"<a/>"), 200, None,
+         "text/html", dt.datetime(2026, 1, 1)),
+        ("https://zzz.example/1", bytearray(b"<z/>"), 200, None,
+         "text/html", dt.datetime(2026, 1, 1)),
+    ] + [
+        (url, bytearray(f"<v{i}/>".encode()), 200, None,
+         "text/html", dt.datetime(2026, 1, 1, 0, 0, i))
+        for i in range(7)
+    ]
+    arch = _archive(spark, tmp_path, rows)
+    idx = str(tmp_path / "index")
+    assert cdxmod.build_zipnum(spark, arch, idx, block_lines=2) == 9
+
+    zn = cdxmod.ZipNumIndex(idx)
+    entries = zn.lookup(surt(url))
+    assert len(entries) == 7
+    assert [e["ts14"] for e in entries] == sorted(e["ts14"] for e in entries)
+    bodies = {bytes(r["html"]) for r in zn.fetch(arch, surt(url))}
+    assert bodies == {f"<v{i}/>".encode() for i in range(7)}
+
+
+def test_zipnum_blocks_tile_shards(spark, tmp_path):
+    """cluster.idx (offset, length) entries tile each shard file exactly —
+    every byte of every shard belongs to exactly one indexed gzip block."""
+    rows = [
+        (f"https://h{i % 3}.example/{i}", bytearray(b"<x/>"), 200, None,
+         "text/html", dt.datetime(2026, 1, 1))
+        for i in range(100)
+    ]
+    arch = _archive(spark, tmp_path, rows)
+    idx = str(tmp_path / "index")
+    cdxmod.build_zipnum(spark, arch, idx, shards=2, block_lines=9)
+
+    per_shard: dict[str, list[tuple[int, int]]] = {}
+    with open(os.path.join(idx, cdxmod.CLUSTER_IDX)) as f:
+        for line in f:
+            _, fname, off, ln = line.rstrip("\n").split("\t")
+            per_shard.setdefault(fname, []).append((int(off), int(ln)))
+    assert per_shard  # at least one shard written
+    for fname, blocks in per_shard.items():
+        blocks.sort()
+        assert blocks[0][0] == 0
+        for (o1, l1), (o2, _) in zip(blocks, blocks[1:]):
+            assert o1 + l1 == o2
+        size = os.path.getsize(os.path.join(idx, fname))
+        assert blocks[-1][0] + blocks[-1][1] == size
+        # each block is a standalone gzip member of complete lines
+        with open(os.path.join(idx, fname), "rb") as f:
+            f.seek(blocks[0][0])
+            data = f.read(blocks[0][1])
+        assert gzip.decompress(data).endswith(b"\n")

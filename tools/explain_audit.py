@@ -497,6 +497,42 @@ def main() -> None:
         f"fetch_map_in_pandas={n_map_fetch}"
     )
 
+    # ZipNum global index build (sources/cdx.py): exactly ONE Exchange and
+    # it must be RANGE partitioning on the index key (a sampled, balanced
+    # global sort of ~150-byte index lines — never archive bytes), then
+    # one MapInPandas shard writer. Any hashpartitioning here would break
+    # the global key order the cluster.idx binary search depends on.
+    from jcrawler_spark.sources import cdx as cdx_mod
+
+    zn_plan = (
+        cdx_mod.zipnum_plan(spark, cdx_dir, tempfile.mkdtemp(prefix="plans-zn-"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_ex_zn = len(re.findall(r"Exchange", zn_plan))
+    n_range_zn = len(re.findall(r"Exchange rangepartitioning", zn_plan))
+    n_map_zn = len(re.findall(r"MapInPandas", zn_plan))
+    assert n_ex_zn == 1 and n_range_zn == 1, (
+        f"zipnum build must have exactly one RANGE Exchange "
+        f"(got {n_ex_zn} total, {n_range_zn} range):\n{zn_plan}"
+    )
+    assert n_map_zn == 1, "zipnum build must write via one MapInPandas"
+    out.append(
+        "## zipnum global index build (one range Exchange)\n\n"
+        f"Exchanges: {n_ex_zn} (exactly 1, rangepartitioning on the index "
+        "key — sampled and balanced, moving index lines only); "
+        f"MapInPandas: {n_map_zn} (the shard writer).\n\n```\n"
+        + "\n".join(
+            ln.rstrip()[:110]
+            for ln in zn_plan.splitlines()
+            if re.search(r"Exchange|MapInPandas|Scan|Project|Sort", ln)
+        )
+        + "\n```\n"
+    )
+    summary.append(
+        f"- **zipnum_build**: range_exchanges={n_range_zn} "
+        f"total_exchanges={n_ex_zn} map_in_pandas={n_map_zn}"
+    )
+
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("\n".join(summary))
