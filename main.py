@@ -92,6 +92,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "joined back to the source bodies) — interchanges "
                         "with --warc replay and Common-Crawl tooling; "
                         "needs a bodies source (--corpus or --warc)")
+    p.add_argument("--cdx-index", default=None, metavar="DIR",
+                   help="after --export-warc, roll the archive's .cdxj "
+                        "companions into a ZipNum global index in DIR "
+                        "(cc-index layout: sorted gzip-blocked shards + "
+                        "cluster.idx) — any URL then replays with two "
+                        "range reads, no Spark job")
     p.add_argument("--priority-scores", default=None, metavar="PARQUET",
                    help="opt-in authority-ordered scheduling: a parquet "
                         "table (url_hash, score) — e.g. graph.pagerank over "
@@ -103,6 +109,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     args = build_parser().parse_args(argv)
+    if args.cdx_index and not args.export_warc:
+        print("error: --cdx-index indexes a fresh archive; it needs "
+              "--export-warc", file=sys.stderr)
+        return 2
 
     from jcrawler_spark import corpus as corpus_mod
     from jcrawler_spark.config import CrawlConfig, TraversalType
@@ -247,6 +257,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
         n_arch = sum(r["n_records"] for r in sink_stats)
         print(f"archived {n_arch} records to {args.export_warc} "
               f"({len(sink_stats)} files)")
+        if args.cdx_index:
+            from jcrawler_spark.sources import cdx as cdx_mod
+
+            n_idx = cdx_mod.build_zipnum(
+                spark, args.export_warc, args.cdx_index
+            )
+            print(f"indexed {n_idx} records to {args.cdx_index}")
 
     result_path = os.path.join(args.state, ".crawl-result.json")
     os.makedirs(args.state, exist_ok=True)

@@ -462,11 +462,22 @@ def test_cli_export_warc_roundtrip(spark, tmp_path, capsys):
         ]
 
     export = str(tmp_path / "export")
+    index = str(tmp_path / "index")
     base = run(
-        ["--corpus", corpus_path, "--export-warc", export],
+        ["--corpus", corpus_path, "--export-warc", export,
+         "--cdx-index", index],
         str(tmp_path / "st-orig"),
     )
-    assert "archived " in capsys.readouterr().out
+    out_text = capsys.readouterr().out
+    assert "archived " in out_text and "indexed " in out_text
+
+    # the ZipNum index replays any crawled URL without a Spark job
+    from jcrawler_spark.functions.urlops import surt
+    from jcrawler_spark.sources import cdx as cdx_mod
+
+    zn = cdx_mod.ZipNumIndex(index)
+    recs = zn.fetch(export, surt(base[0]))
+    assert recs and recs[0]["url"] == base[0]
 
     # archived bodies == corpus bodies for every archived 200 URL
     arch = warc_mod.to_pages(warc_mod.read_warc(spark, export))
@@ -553,3 +564,19 @@ def test_cli_seed_sitemaps(spark, tmp_path, capsys):
     # low-priority one in the schedule (wave budget 1)
     assert {corpus.url_of(0, H), hot, cold} <= set(emitted)
     assert emitted.index(hot) < emitted.index(cold)
+
+
+def test_cli_cdx_index_requires_export(tmp_path, capsys):
+    import main as cli
+
+    rc = cli.main(
+        [
+            "https://host0.example/p/0/0",
+            "--corpus", str(tmp_path / "nope"),
+            "--cdx-index", str(tmp_path / "idx"),
+            "--state", str(tmp_path / "st"),
+        ],
+        stop_session=False,
+    )
+    assert rc == 2
+    assert "--export-warc" in capsys.readouterr().err
