@@ -196,6 +196,19 @@ def main() -> None:
             n_ingested / timings["warc_ingest"], 1
         )
 
+        # ---- ZipNum global index build over the same archive's .cdxj
+        # companions (the one new wide operator: range Exchange + sort +
+        # gzip shard write + cluster.idx) ----
+        from jcrawler_spark.sources import cdx as cdxmod
+
+        zn_dir = os.path.join(state_root, "zipnum")
+        t0 = time.monotonic()
+        n_indexed = cdxmod.build_zipnum(spark, warc_dir, zn_dir, shards=8)
+        timings["zipnum_build"] = round(time.monotonic() - t0, 2)
+        extras["zipnum_records_per_sec"] = round(
+            n_indexed / timings["zipnum_build"], 1
+        )
+
     # ---- operator benches from the contract ----
     op_names = () if CRAWL_ONLY else (
         "minhash_signatures",
