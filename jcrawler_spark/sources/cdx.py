@@ -155,6 +155,36 @@ def build_zipnum(
     return sum(r["n_lines"] for r in summary)
 
 
+def archive_gap(
+    candidates: DataFrame,
+    spark: SparkSession,
+    warc_dir: str,
+    *,
+    url_col: str = "url",
+) -> DataFrame:
+    """Gap-crawl seeding: the rows of ``candidates`` whose URL is NOT in
+    the archive's CDX — i.e. exactly what a crawl topping up an existing
+    archive should fetch. Keyed on the SURT transform (both sides
+    JVM-side via urlops.surt_col), so URLs that differ only in query-param
+    order / case / 'www.' match their archived capture. One anti-join:
+    the index side is ~150-byte lines, prunable to its surt column at the
+    scan, and broadcast-able whenever the archive index fits — Catalyst/
+    AQE pick; at cc-index scale both sides shuffle once on the key."""
+    from jcrawler_spark.functions import urlops
+
+    have = (
+        warcmod.read_cdx(spark, warc_dir)
+        .select(F.col("surt").alias("_have_surt"))
+        .distinct()
+    )
+    key = urlops.surt_col(F.col(url_col))
+    return (
+        candidates.withColumn("_cand_surt", key)
+        .join(have, F.col("_cand_surt") == F.col("_have_surt"), "left_anti")
+        .drop("_cand_surt")
+    )
+
+
 class ZipNumIndex:
     """Driver-side reader over a built ZipNum directory: binary-search the
     in-memory cluster.idx, range-read candidate gzip blocks, scan ≤

@@ -119,3 +119,28 @@ def test_zipnum_blocks_tile_shards(spark, tmp_path):
             f.seek(blocks[0][0])
             data = f.read(blocks[0][1])
         assert gzip.decompress(data).endswith(b"\n")
+
+
+def test_archive_gap_seeds_only_missing_urls(spark, tmp_path):
+    """archive_gap = candidates ∖ archived, keyed on SURT: a crawl topping
+    up an archive fetches exactly the unarchived URLs, and a candidate
+    that differs only in query-param order / 'www.' still counts as
+    archived (canonical-key semantics, not string equality)."""
+    rows = [
+        (f"https://h.example/p/{i}?a=1&b=2", bytearray(b"<x/>"), 200, None,
+         "text/html", dt.datetime(2026, 1, 1))
+        for i in range(10)
+    ]
+    arch = _archive(spark, tmp_path, rows)
+
+    cands = spark.createDataFrame(
+        [(f"https://h.example/p/{i}?a=1&b=2",) for i in range(5)]      # archived
+        + [("https://WWW.h.example/p/5?b=2&a=1",)]                     # equivalent
+        + [(f"https://h.example/p/{i}?a=1&b=2",) for i in range(20, 24)],
+        "url string",
+    )
+    got = sorted(
+        r["url"]
+        for r in cdxmod.archive_gap(cands, spark, arch).collect()
+    )
+    assert got == [f"https://h.example/p/{i}?a=1&b=2" for i in range(20, 24)]
