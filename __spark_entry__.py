@@ -1727,6 +1727,89 @@ def q_warc_roundtrip(spark, sf_dir):
     )
 
 
+def q_zipnum_fetch(spark, sf_dir):
+    """ZipNum global index end-to-end (sources/cdx.py): the first 200
+    documents are archived through the real sink (write_warc_files, which
+    also emits the sorted .cdxj companions), rolled into a ZipNum index
+    (one range Exchange), then EVERY url is answered the production way —
+    cluster.idx binary search (driver, no Spark job) to locate each
+    record's (filename, offset, length), and a distributed fetch_records
+    range-read of exactly those gzip members. Oracle: the same rows
+    straight off the documents table — the chain sink → index → lookup →
+    ranged fetch must reproduce every body byte-identically."""
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from jcrawler_spark.functions.urlops import surt
+    from jcrawler_spark.sources import cdx as cdxmod
+    from jcrawler_spark.sources import warc as warcmod
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .orderBy("doc_id")
+        .limit(200)
+        .select("doc_id", "text")
+        .collect()  # 200 rows, contract fixture synthesis only
+    )
+    epoch = _dt.datetime(2023, 11, 14, 22, 13, 20)
+    root = tempfile.mkdtemp(prefix="jcrawler-zipnum-")
+    try:
+        pages = spark.createDataFrame(
+            [
+                (
+                    f"https://warc{r['doc_id'] % 8}.example/d/{r['doc_id']}",
+                    bytearray(r["text"].encode("utf-8")),
+                    200,
+                    None,
+                    "text/html; charset=utf-8",
+                    epoch + _dt.timedelta(seconds=int(r["doc_id"])),
+                )
+                for r in docs
+            ],
+            "url string, html binary, status int, location string, "
+            "content_type string, warc_ts timestamp",
+        ).repartition(4)
+        arch = root + "/archive"
+        idx = root + "/index"
+        warcmod.write_warc_files(pages, arch).collect()
+        cdxmod.build_zipnum(spark, arch, idx, shards=2, block_lines=32)
+
+        zn = cdxmod.ZipNumIndex(idx)
+        entries = []
+        for r in docs:
+            url = f"https://warc{r['doc_id'] % 8}.example/d/{r['doc_id']}"
+            entries.extend(zn.lookup(surt(url)))
+        sel = spark.createDataFrame(
+            [(e["filename"], e["offset"], e["length"]) for e in entries],
+            "filename string, offset long, length long",
+        ).repartition(4)
+        rows = (
+            warcmod.fetch_records(sel, arch)
+            .select(
+                "url",
+                "status",
+                F.decode("html", "UTF-8").alias("text"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "url string, status int, text string"
+    )
+
+
+_ZIPNUM_FETCH_SQL = """
+SELECT
+  'https://warc' || CAST(doc_id % 8 AS VARCHAR) || '.example/d/'
+      || CAST(doc_id AS VARCHAR) AS url,
+  200 AS status,
+  text
+FROM (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 200)
+"""
+
+
 _WARC_ROUNDTRIP_SQL = """
 SELECT
   'https://warc' || CAST(doc_id % 8 AS VARCHAR) || '.example/d/'
@@ -2026,6 +2109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_emission": q_crawl_emission,
         "media_features": q_media_features,
         "warc_roundtrip": q_warc_roundtrip,
+        "zipnum_fetch": q_zipnum_fetch,
         "sitemap_harvest": q_sitemap_harvest,
     }
 
@@ -2075,5 +2159,6 @@ def oracle_sql() -> dict[str, str]:
         "crawl_emission": _CRAWL_EMISSION_SQL,
         "media_features": _MEDIA_SQL,
         "warc_roundtrip": _WARC_ROUNDTRIP_SQL,
+        "zipnum_fetch": _ZIPNUM_FETCH_SQL,
         "sitemap_harvest": _SITEMAP_HARVEST_SQL,
     }
