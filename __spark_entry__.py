@@ -157,7 +157,7 @@ _SURT_URL_SQL = (
     "   || source || '/doc-' || doc_id || '?b=' || doc_id || '&a=1#frag'"
     " WHEN 1 THEN 'http://u:p@sub.docs' || (doc_id % 7) || '.example/doc-'"
     "   || doc_id"
-    " WHEN 2 THEN 'HTTPS://WWW.DOCS' || (doc_id % 7) || '.EXAMPLE/UP/'"
+    " WHEN 2 THEN 'HTTPS://WWW.DOCS' || (doc_id % 7) || '.EXAMPLE/UP '"
     "   || doc_id || '?Z=9&A=' || doc_id"
     " WHEN 3 THEN 'https://docs' || (doc_id % 7) || '.example'"
     " WHEN 4 THEN 'doc-' || doc_id || '/relative?x=1'"
@@ -186,7 +186,8 @@ def _surt_url_col() -> F.Column:
         .when(
             F.col("doc_id") % 6 == 2,
             F.concat(
-                F.lit("HTTPS://WWW.DOCS"), h, F.lit(".EXAMPLE/UP/"), d,
+                # raw space in the path: the key must percent-encode it
+                F.lit("HTTPS://WWW.DOCS"), h, F.lit(".EXAMPLE/UP "), d,
                 F.lit("?Z=9&A="), d,
             ),
         )
@@ -242,14 +243,16 @@ WITH t AS (
   FROM a
 )
 SELECT doc_id, url,
-  CASE WHEN has_auth THEN
-    (CASE WHEN host = '' THEN ''
-          ELSE array_to_string(list_reverse(string_split(host, '.')), ',')
-     END) || port || ')' || path ||
-    (CASE WHEN q = '' THEN ''
-          ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
-     END)
-  ELSE u END AS surt
+  replace(replace(replace(replace(
+    CASE WHEN has_auth THEN
+      (CASE WHEN host = '' THEN ''
+            ELSE array_to_string(list_reverse(string_split(host, '.')), ',')
+       END) || port || ')' || path ||
+      (CASE WHEN q = '' THEN ''
+            ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+       END)
+    ELSE u END,
+    ' ', '%20'), chr(9), '%09'), chr(13), '%0D'), chr(10), '%0A') AS surt
 FROM b
 """
 

@@ -324,14 +324,25 @@ def unsupported_protocol_col(url: Column) -> Column:
 _SURT_AUTH_RE = re.compile(r"^[a-z][a-z0-9+.-]*://([^/?#]*)")
 
 
+def _surt_ws(key: str) -> str:
+    """Percent-encode whitespace in the final key: CDXJ lines and ZipNum
+    block entries are space/tab-delimited, so a raw-whitespace URL must
+    not be able to corrupt the line framing. Structural (not reversible):
+    a literal '%20' in the source URL collides by design."""
+    return (
+        key.replace(" ", "%20").replace("\t", "%09")
+        .replace("\r", "%0D").replace("\n", "%0A")
+    )
+
+
 def surt(url: str) -> str:
     """Pure twin of surt_col (used record-at-a-time inside the WARC sink,
     where rows are already in Python); pytest pins surt == surt_col."""
-    u = url.strip().lower()
+    u = url.strip(" ").lower()  # space-only trim: F.trim/DuckDB-trim parity
     u = u.split("#", 1)[0]
     m = _SURT_AUTH_RE.match(u)
     if not m:
-        return u  # no authority (relative/opaque): key is the string itself
+        return _surt_ws(u)  # no authority (relative/opaque): the string
     auth = m.group(1).rsplit("@", 1)[-1]
     host, port = auth, ""
     pm = re.search(r":([0-9]+)$", auth)  # ASCII digits, like the Java regex
@@ -344,7 +355,7 @@ def surt(url: str) -> str:
     path = rest.split("?", 1)[0] or "/"
     query = rest.split("?", 1)[1] if "?" in rest else ""
     qpart = "?" + "&".join(sorted(query.split("&"))) if query else ""
-    return f"{rev}{port}){path}{qpart}"
+    return _surt_ws(f"{rev}{port}){path}{qpart}")
 
 
 def surt_col(url: Column) -> Column:
@@ -369,9 +380,13 @@ def surt_col(url: Column) -> Column:
     qpart = F.when(query == "", F.lit("")).otherwise(
         F.concat(F.lit("?"), F.concat_ws("&", F.array_sort(F.split(query, "&"))))
     )
-    return F.when(
+    key = F.when(
         has_auth, F.concat(rev, port, F.lit(")"), path, qpart)
     ).otherwise(u)
+    # whitespace → percent escapes, mirroring _surt_ws (line framing)
+    for ch, esc in ((" ", "%20"), ("\t", "%09"), ("\r", "%0D"), ("\n", "%0A")):
+        key = F.replace(key, F.lit(ch), F.lit(esc))
+    return key
 
 
 # ---------------------------------------------------------------------------

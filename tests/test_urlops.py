@@ -287,6 +287,9 @@ SURT_GOLDENS = [
     ("https://h.example/p?", "example,h)/p"),              # dangling '?'
     ("relative/path?x=1", "relative/path?x=1"),            # no authority
     ("HTTPS://WWW.X.Y/Q?b=2&a=1&a=0", "y,x)/q?a=0&a=1&b=2"),
+    # raw whitespace must not survive into the key (CDXJ line framing)
+    ("https://h.example/a b?c d=1", "example,h)/a%20b?c%20d=1"),
+    ("rel ative\tpath", "rel%20ative%09path"),
 ]
 
 
