@@ -160,7 +160,8 @@ _SURT_URL_SQL = (
     " WHEN 2 THEN 'HTTPS://WWW.DOCS' || (doc_id % 7) || '.EXAMPLE/UP '"
     "   || doc_id || '?Z=9&A=' || doc_id"
     " WHEN 3 THEN 'https://docs' || (doc_id % 7) || '.example'"
-    " WHEN 4 THEN 'doc-' || doc_id || '/relative?x=1'"
+    " WHEN 4 THEN 'doc-' || doc_id || chr(10) || '/relative?x=1#f'"
+    "   || chr(10) || 'rag'"
     " ELSE 'https://docs' || (doc_id % 7) || '.example/p?' END)"
 )
 
@@ -196,8 +197,11 @@ def _surt_url_col() -> F.Column:
             F.concat(F.lit("https://docs"), h, F.lit(".example")),
         )
         .when(
+            # no authority + raw newline + fragment straddling a newline:
+            # exercises the whitespace escapes AND the (?s) dotall parity
+            # of the fragment strip across all three engines
             F.col("doc_id") % 6 == 4,
-            F.concat(F.lit("doc-"), d, F.lit("/relative?x=1")),
+            F.concat(F.lit("doc-"), d, F.lit("\n/relative?x=1#f\nrag")),
         )
         .otherwise(F.concat(F.lit("https://docs"), h, F.lit(".example/p?")))
     )
@@ -221,7 +225,7 @@ def q_surt_key(spark, sf_dir):
 _SURT_SQL = f"""
 WITH t AS (
   SELECT doc_id, url,
-         regexp_replace(lower(trim(url)), '#.*$', '') AS u
+         regexp_replace(lower(trim(url)), '(?s)#.*$', '') AS u
   FROM (SELECT doc_id, {_SURT_URL_SQL} AS url FROM documents)
 ), a AS (
   SELECT doc_id, url, u,
@@ -236,10 +240,10 @@ WITH t AS (
          regexp_extract(auth, '(:[0-9]+)$', 1) AS port,
          regexp_replace(
            regexp_replace(auth, ':[0-9]+$', ''), '^www\\.', '') AS host,
-         CASE WHEN regexp_replace(rest, '\\?.*$', '') = '' THEN '/'
-              ELSE regexp_replace(rest, '\\?.*$', '') END AS path,
+         CASE WHEN regexp_replace(rest, '(?s)\\?.*$', '') = '' THEN '/'
+              ELSE regexp_replace(rest, '(?s)\\?.*$', '') END AS path,
          CASE WHEN contains(rest, '?')
-              THEN regexp_extract(rest, '\\?(.*)$', 1) ELSE '' END AS q
+              THEN regexp_extract(rest, '(?s)\\?(.*)$', 1) ELSE '' END AS q
   FROM a
 )
 SELECT doc_id, url,
@@ -252,7 +256,7 @@ SELECT doc_id, url,
             ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
        END)
     ELSE u END,
-    ' ', '%20'), chr(9), '%09'), chr(13), '%0D'), chr(10), '%0A') AS surt
+    ' ', '%20'), chr(9), '%09'), chr(13), '%0d'), chr(10), '%0a') AS surt
 FROM b
 """
 

@@ -329,9 +329,11 @@ def _surt_ws(key: str) -> str:
     block entries are space/tab-delimited, so a raw-whitespace URL must
     not be able to corrupt the line framing. Structural (not reversible):
     a literal '%20' in the source URL collides by design."""
+    # lowercase hex: the transform lowercases its input, so an escape must
+    # be a fixed point under re-keying (surt(surt(u)) == surt(u))
     return (
         key.replace(" ", "%20").replace("\t", "%09")
-        .replace("\r", "%0D").replace("\n", "%0A")
+        .replace("\r", "%0d").replace("\n", "%0a")
     )
 
 
@@ -384,7 +386,7 @@ def surt_col(url: Column) -> Column:
         has_auth, F.concat(rev, port, F.lit(")"), path, qpart)
     ).otherwise(u)
     # whitespace → percent escapes, mirroring _surt_ws (line framing)
-    for ch, esc in ((" ", "%20"), ("\t", "%09"), ("\r", "%0D"), ("\n", "%0A")):
+    for ch, esc in ((" ", "%20"), ("\t", "%09"), ("\r", "%0d"), ("\n", "%0a")):
         key = F.replace(key, F.lit(ch), F.lit(esc))
     return key
 

@@ -67,8 +67,21 @@ def zipnum_plan(
     bytes) and ONE MapInPandas (the shard writer)."""
     os.makedirs(out_dir, exist_ok=True)
     cdx = warcmod.read_cdx(spark, warc_dir)
+    if shards is None:
+        # size shards from the record count (~2M records ≈ a few tens of
+        # MB gzipped per shard); never fall through to
+        # spark.sql.shuffle.partitions — a small archive must not explode
+        # into hundreds of near-empty shard files
+        n_est = cdx.count()
+        shards = max(1, -(-n_est // 2_000_000))
+    # explicit concat, NOT concat_ws: a null ts14 (malformed line in a
+    # foreign .cdxj) must not silently produce a space-less key that
+    # lookup() can never match — coalesce to the sink's null-date ts14
     keyed = cdx.select(
-        F.concat_ws(" ", "surt", "ts14").alias("key"),
+        F.concat(
+            "surt", F.lit(" "),
+            F.coalesce("ts14", F.lit("00000000000000")),
+        ).alias("key"),
         F.to_json(
             F.struct(
                 "url", "mime", "status", "digest",
@@ -200,8 +213,8 @@ class ZipNumIndex:
                 key, fname, off, ln = line.rstrip("\n").split("\t")
                 self._keys.append(key)
                 self._blocks.append((fname, int(off), int(ln)))
-        if not self._keys:
-            raise ValueError(f"empty {CLUSTER_IDX} in {index_dir}")
+        # an empty cluster.idx is a valid index of an empty archive
+        # (e.g. every crawl row had null status): lookups return []
 
     def _read_block(self, i: int) -> list[str]:
         fname, off, ln = self._blocks[i]
@@ -216,6 +229,8 @@ class ZipNumIndex:
         '<surt> <ts14>' so a key's captures may straddle a block
         boundary; scan forward from the first candidate block until keys
         pass the target."""
+        if not self._keys:
+            return []
         # rightmost block whose first_key <= target (candidates start here)
         i = bisect.bisect_right(self._keys, surt_key) - 1
         if i < 0:

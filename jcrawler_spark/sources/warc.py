@@ -443,6 +443,10 @@ def read_warc_stream(
     return files.mapInPandas(_parse_gen(batch_rows), schema=WARC_ROWS)
 
 
+# sorted-run size for the sink's CDX spill (module-level so tests can
+# shrink it to exercise the merge path)
+CDX_RUN_LINES = 250_000
+
 WARC_SINK_STATS = T.StructType(
     [
         T.StructField("path", T.StringType(), False),
@@ -490,14 +494,53 @@ def write_warc_files(
     object-store deployment would swap the ``open()`` for an fsspec/
     Hadoop-FS handle, same streaming shape). Task retries are idempotent:
     a retry truncates and rewrites its own part file(s)."""
+    import heapq
     import json as _json
     import os
+    import tempfile
 
     from pyspark import TaskContext
 
     from jcrawler_spark.functions.urlops import surt as _surt
 
     cols = ["url", "html", "status", "location", "content_type", "warc_ts"]
+
+    # index lines per in-memory sorted run before spilling (~250k lines ≈
+    # 60-90 MB): the sink's memory stays bounded no matter how many
+    # records a partition holds — the WARC bytes already stream, and the
+    # companion must not be the thing that OOMs a mega-partition.
+    run_lines = CDX_RUN_LINES
+
+    class _CdxRuns:
+        """Sorted-run spill + k-way merge for one partition's index lines."""
+
+        def __init__(self) -> None:
+            self.buf: list[str] = []
+            self.spills: list = []
+
+        def add(self, line: str) -> None:
+            self.buf.append(line)
+            if len(self.buf) >= run_lines:
+                self.buf.sort()
+                sp = tempfile.TemporaryFile("w+", encoding="utf-8")
+                sp.write("\n".join(self.buf) + "\n")
+                sp.seek(0)
+                self.spills.append(sp)
+                self.buf = []
+
+        def write_sorted(self, ix) -> None:
+            self.buf.sort()
+            if not self.spills:  # common case: one in-memory run
+                if self.buf:
+                    ix.write("\n".join(self.buf) + "\n")
+                return
+            streams = [iter(sp) for sp in self.spills]
+            if self.buf:
+                streams.append(iter(ln + "\n" for ln in self.buf))
+            for line in heapq.merge(*streams):
+                ix.write(line)
+            for sp in self.spills:
+                sp.close()
 
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
@@ -506,7 +549,7 @@ def write_warc_files(
         )
         n = 0
         n_skipped = 0
-        cdx_lines: list[str] = []
+        cdx_lines = _CdxRuns()
         with open(fname, "wb") as f:
             for pdf in it:
                 for url, html, status, ctype, loc, ts in zip(
@@ -551,16 +594,18 @@ def write_warc_files(
                         meta = {
                             "url": url,
                             "mime": mime.split(";", 1)[0].strip(),
-                            "status": int(status),
-                            "digest": "sha1:"
-                            + base64.b32encode(
+                            # bare base32 sha-1: the cc-index/pywb CDXJ
+                            # field convention ('sha1:' prefixes belong to
+                            # WARC-Payload-Digest headers, not CDX json)
+                            "digest": base64.b32encode(
                                 hashlib.sha1(body).digest()
                             ).decode("ascii"),
+                            "status": int(status),
                             "length": f.tell() - offset,
                             "offset": offset,
                             "filename": os.path.basename(fname),
                         }
-                        cdx_lines.append(
+                        cdx_lines.add(
                             f"{_surt(url)} {ts14} "
                             + _json.dumps(meta, sort_keys=True)
                         )
@@ -574,7 +619,7 @@ def write_warc_files(
         elif cdx:
             ixname = os.path.join(path, f"part-{pid:05d}.cdxj")
             with open(ixname, "w", encoding="utf-8") as ix:
-                ix.write("\n".join(sorted(cdx_lines)) + "\n")
+                cdx_lines.write_sorted(ix)
         yield pd.DataFrame(
             [(fname, n, size, n_skipped)],
             columns=[x.name for x in WARC_SINK_STATS.fields],

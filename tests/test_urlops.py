@@ -303,6 +303,9 @@ def test_surt_goldens():
 def test_surt_total_and_idempotent_on_keys(u):
     k = urlops.surt(u)
     assert isinstance(k, str)  # total: never throws
+    # keys are fixed points: archive_gap and any consumer re-keying a
+    # stored key must get the same key back
+    assert urlops.surt(k) == k
 
 
 def test_surt_col_matches_pure(spark):

@@ -419,7 +419,11 @@ def test_cdx_companions_roundtrip_and_random_access(spark, tmp_path):
     assert cdx.count() == 60
     # every archived URL indexed exactly once, digest/mime/status populated
     row = cdx.where(F.col("status") == 200).first()
-    assert row["digest"].startswith("sha1:") and row["mime"] == "text/html"
+    # bare base32 sha-1 (32 chars), the cc-index CDXJ field convention
+    import re as _re
+
+    assert _re.fullmatch(r"[A-Z2-7]{32}", row["digest"])
+    assert row["mime"] == "text/html"
 
     # random access: fetch 5 urls through the index, bodies byte-identical
     want = {
@@ -455,3 +459,40 @@ def test_cdx_opt_out(spark, tmp_path):
     out = str(tmp_path / "arch3")
     warc.write_warc_files(df, out, cdx=False).collect()
     assert not [f for f in os.listdir(out) if f.endswith(".cdxj")]
+
+
+def test_cdx_spill_runs_merge_sorted(spark, tmp_path, monkeypatch):
+    """With a tiny run size the CDX lines spill into many sorted runs per
+    partition; the k-way merge must still produce one complete, sorted
+    companion (the bounded-memory path a mega-partition takes)."""
+    from jcrawler_spark import corpus
+
+    monkeypatch.setattr(warc, "CDX_RUN_LINES", 7)
+    pages = corpus.build_pages_df(spark, 60, 4, partitions=4)
+    out = str(tmp_path / "archive")
+    warc.write_warc_files(pages.repartition(1), out).collect()
+
+    lines = (tmp_path / "archive" / "part-00000.cdxj").read_text().splitlines()
+    assert len(lines) == 60  # every record indexed, none lost in spills
+    assert lines == sorted(lines)
+
+
+def test_zipnum_empty_archive_index(spark, tmp_path):
+    """An archive where nothing was archivable yields an empty (but valid)
+    ZipNum index: build succeeds, lookups return [] instead of crashing."""
+    from jcrawler_spark.sources import cdx as cdxmod
+
+    rows = [("https://a.example/x", None, None, None, None, None)]
+    df = spark.createDataFrame(
+        rows,
+        "url string, html binary, status int, location string, "
+        "content_type string, warc_ts timestamp",
+    )
+    arch = str(tmp_path / "arch")
+    stats = warc.write_warc_files(df, arch).collect()
+    assert sum(r["n_records"] for r in stats) == 0
+
+    idx = str(tmp_path / "idx")
+    assert cdxmod.build_zipnum(spark, arch, idx) == 0
+    zn = cdxmod.ZipNumIndex(idx)
+    assert zn.lookup("example,a)/x") == []
