@@ -504,8 +504,13 @@ def main() -> None:
     # the global key order the cluster.idx binary search depends on.
     from jcrawler_spark.sources import cdx as cdx_mod
 
+    # shards pinned >1: the range-partitioning claim is about the
+    # multi-shard build (auto-sizing on this 1-record fixture would give
+    # shards=1, which Spark legitimately collapses to SinglePartition)
     zn_plan = (
-        cdx_mod.zipnum_plan(spark, cdx_dir, tempfile.mkdtemp(prefix="plans-zn-"))
+        cdx_mod.zipnum_plan(
+            spark, cdx_dir, tempfile.mkdtemp(prefix="plans-zn-"), shards=4
+        )
         ._jdf.queryExecution().executedPlan().toString()
     )
     n_ex_zn = len(re.findall(r"Exchange", zn_plan))
