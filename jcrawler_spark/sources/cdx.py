@@ -89,11 +89,9 @@ def zipnum_plan(
             )
         ).alias("meta"),
     )
-    if shards is not None:
-        keyed = keyed.repartitionByRange(shards, "key")
-    else:
-        keyed = keyed.repartitionByRange("key")
-    keyed = keyed.sortWithinPartitions("key")
+    keyed = keyed.repartitionByRange(shards, "key").sortWithinPartitions(
+        "key"
+    )
 
     def write_shard(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
