@@ -105,6 +105,10 @@ def q_url_hash(spark, sf_dir):
     )
 
 
+# Lockstep note: the synthetic URLs contain no '%'/'+' escapes, so
+# sanitize's decode leg (fixed-point iterated in urlops.sanitize, 4×
+# unrolled in sanitize_col — DIVERGENCES.md #1) is the identity here and
+# the SQL form needs only strip-fragment + lowercase.
 _URL_HASH_SQL = f"""
 SELECT doc_id, url, sha256(lower(regexp_replace(url, '#.*$', ''))) AS url_hash
 FROM (SELECT doc_id, {_URL_SQL} AS url FROM documents)

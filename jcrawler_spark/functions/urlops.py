@@ -72,9 +72,28 @@ def url_decode(url: str) -> str:
 
 
 def sanitize(url: str) -> str:
-    """Slug.urlSanitized: decode, strip #fragment, lowercase. No trim
-    (SlugTest.java:18-26)."""
-    return _FRAGMENT.sub("", url_decode(url)).lower()
+    """Slug.urlSanitized: strip #fragment + decode to a FIXED POINT, then
+    lowercase. No trim (SlugTest.java:18-26).
+
+    Round-5 fix (VERDICT r4 #1): a single decode pass is not idempotent —
+    decoding can surface a new fragment ('%23…'), a new escape ('%25xx'),
+    or a new '+' ('%2B'), and a malformed '%' inside the fragment blocks
+    the first decode entirely (pinned golden: 'http://0/+#%').  sanitize
+    feeds url_hash, the visited-set/dedup key, so
+    sanitize(sanitize(u)) == sanitize(u) is a hard requirement
+    (tests/test_urlops.py::test_sanitize_total_and_idempotent).
+
+    Termination: a changing step either shrinks the string (fragment strip,
+    '%xx' -> 1 char) or converts '+' -> ' ' (new '+' only from '%2B', which
+    shrinks), so (len, '+'-count) strictly decreases lexicographically.
+    Lowercasing last is safe: it cannot create a '#', a '+', or turn a
+    malformed '%'-escape valid (hex test is case-insensitive)."""
+    cur = url
+    while True:
+        nxt = url_decode(_FRAGMENT.sub("", cur))
+        if nxt == cur:
+            return cur.lower()
+        cur = nxt
 
 
 def url_hash(url: str) -> str:
@@ -249,12 +268,26 @@ def has_unsupported_protocol(url: str) -> bool:
 # ---------------------------------------------------------------------------
 
 
+# How many strip-fragment+decode steps the Column form unrolls.  The pure
+# form iterates to a true fixed point; expressions can't loop, so the JVM
+# form applies the step a fixed 4 times — identical to the pure form for
+# any URL with <= 4 nested encodings (real crawl data needs <= 2; the
+# lockstep test pins pure == Column over the adversarial corpus).  Bound
+# documented in DIVERGENCES.md.
+_SANITIZE_UNROLL = 4
+
+
 def sanitize_col(url: Column) -> Column:
     """Column form of sanitize(). try_url_decode matches URLDecoder semantics
     ('+' -> space) and returns NULL on malformed input, where we keep the
-    original like the pure form."""
-    decoded = F.coalesce(F.try_url_decode(url), url)
-    return F.lower(F.regexp_replace(decoded, r"(?s)#.*$", ""))
+    original like the pure form.  Mirrors the pure fixed-point iteration by
+    unrolling the strip-fragment+decode step (stays in whole-stage codegen —
+    the shape the 10^10-row seen-key path needs)."""
+    cur = url
+    for _ in range(_SANITIZE_UNROLL):
+        stripped = F.regexp_replace(cur, r"(?s)#.*$", "")
+        cur = F.coalesce(F.try_url_decode(stripped), stripped)
+    return F.lower(F.regexp_replace(cur, r"(?s)#.*$", ""))
 
 
 def url_hash_col(url: Column) -> Column:

@@ -34,6 +34,22 @@ def test_sanitize_does_not_trim():
     assert urlops.sanitize(" http://example.com ") == " http://example.com "
 
 
+def test_sanitize_fixed_point_goldens():
+    """Round-4 VERDICT counterexample pinned: a malformed '%' inside the
+    fragment blocked the first decode, so '+' only decoded on a second
+    pass — sanitize now iterates strip-fragment+decode to a fixed point."""
+    assert urlops.sanitize("http://0/+#%") == "http://0/ "
+    # decode surfacing a new escape / fragment / '+'
+    assert urlops.sanitize("http://x/%2523a") == "http://x/"
+    assert urlops.sanitize("http://x/%252B") == "http://x/ "
+    # refusal is stable: malformed '%' outside a fragment keeps the string
+    assert urlops.sanitize("http://x/%") == "http://x/%"
+    for u in ("http://0/+#%", "http://x/%2523a", "http://x/%252B",
+              "http://x/%", "http://x/a+b%ZZ", "%%25"):
+        s = urlops.sanitize(u)
+        assert urlops.sanitize(s) == s
+
+
 def test_sanitize_strips_fragment():
     assert (
         urlops.sanitize("https://ex.com/a#frag?x")
@@ -306,6 +322,30 @@ def test_surt_total_and_idempotent_on_keys(u):
     # keys are fixed points: archive_gap and any consumer re-keying a
     # stored key must get the same key back
     assert urlops.surt(k) == k
+
+
+def test_sanitize_col_matches_pure(spark):
+    """The JVM Column form (seen-key hot path, engine.py:728) and the pure
+    twin (BFS oracle / Arrow extractor) agree over the adversarial corpus,
+    including the inputs that forced the fixed-point iteration.  The Column
+    form unrolls the strip+decode step 4× (DIVERGENCES: exact for <= 4
+    nested encodings; the pure form is a true fixed point)."""
+    import pyspark.sql.functions as F
+
+    urls = [
+        EUROPA, WGET,
+        "http://0/+#%", "http://x/%2523a", "http://x/%252B",
+        "http://x/%", "http://x/a+b%ZZ", "%%25",
+        "http://x/%23frag%25", "https://A.B/Path%20Name?Q=%2B#f",
+        "https://ex.com/a#frag?x", " http://example.com ",
+        "http://x/%25252B",  # 4 decode steps, at the unroll bound
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    got = [
+        r["s"]
+        for r in df.select(urlops.sanitize_col(F.col("url")).alias("s")).collect()
+    ]
+    assert got == [urlops.sanitize(u) for u in urls]
 
 
 def test_surt_col_matches_pure(spark):
