@@ -116,6 +116,15 @@ class CrawlConfig:
     # SCAN dominates — a 10^10-row seen_index whose compact bitmap fits
     # where the key table doesn't (DIVERGENCES.md #23).
     bloom_enabled: bool = False
+    # Inline rank (round 5): for waves up to this many URLs the successor
+    # rank's per-pid counts are folded into the lineage collect (monotone
+    # precomputed pid over the known order_key domain — rank_ops.pid_expr),
+    # cutting the sampling+counts jobs to ZERO extra actions per superstep.
+    # Above the threshold the sampled range-partition rank runs instead:
+    # its two small jobs amortize, and sampling balances the rank stage
+    # against out-degree skew that the domain-uniform pid cannot see.
+    # None = always use the sampled rank.
+    rank_inline_max_wave: int | None = 1 << 18
     # True = launch the rank-independent state writes (pages + seen_index)
     # BEFORE the global-rank barrier instead of at commit time. MEASURED
     # default is OFF: on a single JVM the async staging jobs time-slice

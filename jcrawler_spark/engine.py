@@ -597,12 +597,15 @@ class CrawlEngine:
             .persist()
         )
 
-        # lineage collect doubles as the count action (rows are ≤ #partitions);
-        # the union leg counts gate-skipped rows in the SAME job, so wave_n =
-        # fetch_n + skipped_n needs no extra job and no Observation (observed
-        # metrics through the bucketed saveAsTable write proved unreliable
-        # after a resume — empty-row AssertionError on first post-resume get)
-        lineage_rows = (
+        # lineage leg: per-partition wave stats — its collect doubles as the
+        # count action (rows are ≤ #partitions) and the union leg counts
+        # gate-skipped rows in the SAME job, so wave_n = fetch_n + skipped_n
+        # needs no extra job and no Observation (observed metrics through
+        # the bucketed saveAsTable write proved unreliable after a resume).
+        # In inline-rank mode the successor per-pid counts ride this SAME
+        # collect (the `rank` kind below), so the whole superstep schedules
+        # ONE read action — the round-5 driver-fixed-cost cut (VERDICT #2).
+        lineage_leg = (
             fetched.select(
                 F.spark_partition_id().alias("partition_id"),
                 "error",
@@ -624,12 +627,12 @@ class CrawlEngine:
                 F.count(F.when(F.col("error").isNotNull(), 1)).alias("errors"),
                 F.count(F.when(F.col("was_skipped"), 1)).alias("skipped"),
             )
-            .collect()
+            .select(
+                F.lit("lin").alias("kind"),
+                F.col("partition_id").alias("key"),
+                "rows_in", "fetched", "errors", "skipped",
+            )
         )
-        fetch_n = sum(r["rows_in"] for r in lineage_rows)
-        err_n = sum(r["errors"] for r in lineage_rows)
-        skipped_n = sum(r["skipped"] for r in lineage_rows)
-        _tick("fetch+extract+lineage", tick)
 
         # one consolidated wave-result delta: every popped URL (fetched or
         # gate-skipped) — this IS the seen delta AND the emission record
@@ -658,15 +661,12 @@ class CrawlEngine:
             )
         )
 
-        # ---- overlap the rank-independent writes with the successor
-        # pipeline: pages + seen_index depend only on the already-persisted
-        # wave results, not on the rank below, so their staging jobs run
-        # WHILE the driver walks the sampling/counts jobs of the global
-        # rank (on a real cluster this keeps executors busy through the
-        # driver's rank barrier; visibility still gated by commit()).
-        # Concurrent readers of seen_index are safe: every committed read
-        # filters superstep <= last-committed, captured at plan time, so
-        # rows staged here (all at superstep s) are stats-pruned.
+        # rank-independent state writes: pages + seen_index depend only on
+        # the persisted wave results.  Staged after the stats collect below
+        # (fetched cache warm); all staging jobs run concurrently in the
+        # store pool either way.  Concurrent readers of seen_index are safe:
+        # every committed read filters superstep <= last-committed, captured
+        # at plan time, so rows staged at superstep s are stats-pruned.
         state_appends = {
             "pages": pages_delta,
             # slim key projection of the same delta — the bucketed seen
@@ -675,8 +675,6 @@ class CrawlEngine:
             "seen_index": pages_delta.select("url_hash", "superstep"),
         }
         early_futs: list = []
-        if cfg.overlap_writes:
-            early_futs = self.store.stage_async(s, appends=state_appends)
 
         # ---- successor pipeline (JCrawler.java:1395-1450): errors → no
         # links (their links array is empty — null html extracts nothing).
@@ -764,8 +762,77 @@ class CrawlEngine:
                 if seen_tbl is not None:
                     cand = cand.join(seen_tbl, "url_hash", "left_anti")
 
-        # ---- deterministic rank → order_key/path_key for new rows ----
-        new_rows, new_n = self._rank_new(cand, s)
+        # ---- stats collect + deterministic rank → order_key for new rows.
+        # Inline mode (wave ≤ rank_inline_max_wave): the successor per-pid
+        # counts union into the lineage collect — ONE action yields the
+        # wave stats AND the dense-rank offsets (pid is a monotone bucket
+        # over the KNOWN src_order_key domain [0, order_counter), so no
+        # sampling job), and the rank's shuffle runs inside the frontier
+        # write job.  Sampled mode (huge waves / opt-out): the two-job
+        # range-partitioned rank — its sampling also balances the rank
+        # stage against out-degree skew the domain-uniform pid cannot see.
+        inline = (
+            cfg.rank_inline_max_wave is not None
+            and approx_rows <= cfg.rank_inline_max_wave
+        )
+        sort_cols = ["src_order_key", "order_in_page", "url"]
+        npart = self.spark.sparkContext.defaultParallelism
+        if inline:
+            cand = cand.withColumn(
+                "__pid",
+                rank_ops.pid_expr(
+                    F.col("src_order_key"), npart, self.order_counter
+                ),
+            ).persist()
+            if self._rank_cache is not None:
+                self._rank_cache.unpersist()
+            self._rank_cache = cand
+            counts_leg = (
+                cand.groupBy("__pid")
+                .agg(F.count(F.lit(1)).alias("rows_in"))
+                .select(
+                    F.lit("rank").alias("kind"),
+                    F.col("__pid").alias("key"),
+                    "rows_in",
+                    F.lit(0).cast("long").alias("fetched"),
+                    F.lit(0).cast("long").alias("errors"),
+                    F.lit(0).cast("long").alias("skipped"),
+                )
+            )
+            stat_rows = lineage_leg.unionByName(counts_leg).collect()
+        else:
+            stat_rows = lineage_leg.collect()
+        lineage_rows = [r for r in stat_rows if r["kind"] == "lin"]
+        fetch_n = sum(r["rows_in"] for r in lineage_rows)
+        err_n = sum(r["errors"] for r in lineage_rows)
+        skipped_n = sum(r["skipped"] for r in lineage_rows)
+        _tick("fetch+extract+stats", tick)
+
+        if cfg.overlap_writes and not inline:
+            # launch pages/seen staging before the sampled rank's driver
+            # barrier (a real cluster's executors idle through it)
+            early_futs = self.store.stage_async(s, appends=state_appends)
+
+        new_rows = None
+        if inline:
+            offsets: dict[int, int] = {}
+            new_n = 0
+            for pid, c in sorted(
+                (int(r["key"]), int(r["rows_in"]))
+                for r in stat_rows
+                if r["kind"] == "rank"
+            ):
+                offsets[pid] = new_n
+                new_n += c
+            if new_n > 0:
+                ranked = rank_ops.rank_from_offsets(
+                    cand, sort_cols, offsets, npart
+                )
+                new_rows = self._rank_select(ranked, s)
+        else:
+            new_rows, new_n = self._rank_new(cand, s)
+            if new_n == 0:
+                new_rows = None
         _tick("rank new frontier", tick)
         self.order_counter += new_n
 
@@ -775,7 +842,11 @@ class CrawlEngine:
         # Every Kth superstep the composed view compacts into one base so
         # the read plan stays bounded — at a 10^10-row frontier the full
         # rewrite this replaces would dominate every superstep. ----
-        frontier_add = new_rows.select(*[f.name for f in _PENDING.fields])
+        frontier_add = (
+            new_rows.select(*[f.name for f in _PENDING.fields])
+            if new_rows is not None
+            else None  # nothing discovered: skip the append job entirely
+        )
         compact = (
             cfg.frontier_compact_every is not None
             and s % cfg.frontier_compact_every == 0
@@ -785,11 +856,12 @@ class CrawlEngine:
             # provably has no consumption ≤ s, so `c_superstep >= s` keeps
             # the compose exact — and in the bucketed store, old delta
             # files (all rows < s) drop below the floor without a rewrite
-            compacted = (
-                pending.join(wave.select("url_hash"), "url_hash", "left_anti")
-                .unionByName(frontier_add)
-                .withColumn("superstep", F.lit(s))
+            compacted = pending.join(
+                wave.select("url_hash"), "url_hash", "left_anti"
             )
+            if frontier_add is not None:
+                compacted = compacted.unionByName(frontier_add)
+            compacted = compacted.withColumn("superstep", F.lit(s))
 
         # ---- host_state update (logical clock) ----
         # Readers consult host_state only for: last_error (failing-host
@@ -867,29 +939,34 @@ class CrawlEngine:
             # tables park overflow in the stash instead — also loud)
             self._bloom.maybe_grow()
 
-        # ---- lineage from the already-collected per-partition rows ----
+        # ---- lineage from the already-collected per-partition rows:
+        # written driver-side via pyarrow (stage_rows) — rows are ≤
+        # #partitions and already local, so a Spark write job here was pure
+        # fixed cost (round-5 cut, VERDICT #2) ----
         wall_ms = int((time.monotonic() - t0) * 1000)
-        lineage = self.spark.createDataFrame(
+        self.store.stage_rows(
+            "lineage",
             [
                 (
-                    s, int(r["partition_id"]), int(r["rows_in"]), int(new_n),
+                    s, int(r["key"]), int(r["rows_in"]), int(new_n),
                     int(r["fetched"]), int(r["errors"]), wall_ms,
                 )
                 for r in lineage_rows
             ],
-            schema=schemas.LINEAGE,
+            schemas.LINEAGE,
+            s,
         )
 
         # ---- atomic commit ----
         if err_n > 0:
             self._any_host_errors = True
-        appends = {"lineage": lineage}
-        if not cfg.overlap_writes:
+        appends = {}
+        if not early_futs:
             appends.update(state_appends)
         replaces = {}
         if compact:
             replaces["frontier_add"] = compacted
-        else:
+        elif frontier_add is not None:
             appends["frontier_add"] = frontier_add
         if ignored is not None:
             appends["ignored_domains"] = ignored.withColumn("superstep", F.lit(s))
@@ -1083,13 +1160,19 @@ class CrawlEngine:
         (parent order, in-page order): range-partitioned Arrow rank
         (operators/rank.py) — no single-partition window, no per-row
         Python, scales with executors."""
-        base = self.order_counter
         ranked, total, cache = rank_ops.with_global_rank(
             cand, ["src_order_key", "order_in_page", "url"], out_col="rank"
         )
         if self._rank_cache is not None:
             self._rank_cache.unpersist()
         self._rank_cache = cache
+        return self._rank_select(ranked, s), total
+
+    def _rank_select(self, ranked: DataFrame, s: int) -> DataFrame:
+        """Shared projection from a ranked successor frame (rank = dense
+        0..n-1 in FIFO order, from either the inline offset rank or the
+        sampled range rank) to new frontier rows."""
+        base = self.order_counter
         if self._priority_scores is not None:
             ranked = ranked.join(self._priority_scores, "url_hash", "left")
             priority = F.coalesce(
@@ -1116,7 +1199,7 @@ class CrawlEngine:
                 F.format_string("%08x", F.col("order_in_page")),
             ).alias("path_key"),
         )
-        return df, total
+        return df
 
     # ------------------------------------------------------------------
     # run loop + outputs

@@ -77,3 +77,66 @@ def with_global_rank(
 
     ranked = parted.mapInPandas(add_rank, schema=out_schema)
     return ranked, total, parted
+
+
+def pid_expr(key, npart: int, span: int) -> F.Column:
+    """Monotone bucket id over a LONG sort key with a KNOWN domain
+    [0, span): floor(key * npart / span), clamped. Double math is safe —
+    x/span and *npart are monotone non-decreasing, and monotone is all a
+    range id needs (two near keys folding into one bucket is fine).
+
+    This replaces repartitionByRange's SAMPLING job when the caller already
+    knows the key domain (the crawl engine: successor src_order_keys all
+    lie in [0, order_counter)) — the round-5 inline-rank path."""
+    p = F.floor(key.cast("double") * F.lit(float(npart)) / F.lit(float(max(span, 1))))
+    return F.greatest(F.lit(0), F.least(F.lit(npart - 1), p)).cast("int")
+
+
+def rank_from_offsets(
+    df: DataFrame,
+    sort_cols: list[str],
+    offsets: dict[int, int],
+    npart: int,
+    out_col: str = "rank",
+    pid_col: str = "__pid",
+) -> DataFrame:
+    """Dense global rank when per-pid counts are ALREADY known (the engine
+    folds the counts into its lineage collect — zero extra jobs here):
+    shuffle by the precomputed monotone pid, sort (pid, keys) within
+    partitions, then assign offsets[pid] + position via one Arrow pass.
+    Unlike with_global_rank's one-pid-per-partition layout, a physical
+    partition here may hold SEVERAL pids (hash(pid) collisions), so the
+    Arrow pass walks pid runs; a pid never spans two partitions, so
+    per-pid cursors stay partition-local and the rank is exact."""
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(offsets)
+    out_fields = [f for f in df.schema.fields if f.name != pid_col]
+    out_schema = T.StructType(
+        out_fields + [T.StructField(out_col, T.LongType(), False)]
+    )
+
+    def add_rank(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        cursors: dict[int, int] = {}
+        for b in batches:
+            pids = b[pid_col].to_numpy()
+            ranks = np.empty(len(b), dtype="int64")
+            i = 0
+            while i < len(b):
+                pid = int(pids[i])
+                j = i
+                while j < len(b) and pids[j] == pid:
+                    j += 1
+                nxt = cursors.get(pid, bc.value.get(pid, 0))
+                ranks[i:j] = np.arange(nxt, nxt + (j - i))
+                cursors[pid] = nxt + (j - i)
+                i = j
+            b = b.drop(columns=[pid_col])
+            b[out_col] = ranks
+            yield b
+
+    parted = df.repartition(npart, F.col(pid_col)).sortWithinPartitions(
+        pid_col, *sort_cols
+    )
+    return parted.mapInPandas(add_rank, schema=out_schema)
