@@ -296,6 +296,13 @@ class CrawlEngine:
                 T.StructField(
                     "robots_disallow", T.ArrayType(T.StringType()), True
                 ),
+                # robots.txt Allow rules (RFC 9309 precedence carve-outs)
+                T.StructField(
+                    "robots_allow", T.ArrayType(T.StringType()), True
+                ),
+                # robots.txt 'Crawl-delay:' for this host, milliseconds
+                # (harvested opt-in; schemas.HOST_STATE parity)
+                T.StructField("crawl_delay_ms", T.IntegerType(), True),
             ]
         )
 
@@ -410,19 +417,33 @@ class CrawlEngine:
         if cfg.enforce_crawl_delay:
             hs = self.store.read("host_state")
             if hs is not None:
+                if "crawl_delay_ms" not in hs.columns:  # pre-round-5 store
+                    hs = hs.withColumn(
+                        "crawl_delay_ms", F.lit(None).cast("int")
+                    )
                 s = self.superstep + 1
-                delay_steps = max(
-                    1,
-                    -(-cfg.crawl_delay_seconds // max(1, cfg.seconds_per_superstep)),
+                tick = max(1, cfg.seconds_per_superstep)
+                # per-host delay harvested from that host's robots.txt
+                # 'Crawl-delay:' (host_state.crawl_delay_ms, round 5 —
+                # VERDICT r4 #4); the global config value is the fallback
+                delay_s = F.coalesce(
+                    F.col("crawl_delay_ms").cast("double") / 1000.0,
+                    F.lit(float(cfg.crawl_delay_seconds)),
                 )
-                hsf = F.broadcast(hs.select("host", "last_fetch_superstep"))
+                delay_steps = F.greatest(
+                    F.lit(1).cast("long"),
+                    F.ceil(delay_s / F.lit(float(tick))),
+                )
+                hsf = F.broadcast(
+                    hs.select("host", "last_fetch_superstep", "crawl_delay_ms")
+                )
                 cand = (
                     cand.join(hsf, "host", "left")
                     .where(
                         F.col("last_fetch_superstep").isNull()
                         | (F.lit(s) - F.col("last_fetch_superstep") >= delay_steps)
                     )
-                    .drop("last_fetch_superstep")
+                    .drop("last_fetch_superstep", "crawl_delay_ms")
                 )
 
         # F7 failing-host gate (logical clock): skip hosts errored within
@@ -534,6 +555,19 @@ class CrawlEngine:
         # reading the snapshot is lazy (metadata only); the broadcast gate
         # join is only paid once any host has actually errored
         host_state = self.store.read("host_state")
+        if host_state is not None:
+            # stores written before round 5 lack the Crawl-delay / Allow
+            # columns: normalize so resume keeps working across the
+            # schema addition
+            if "crawl_delay_ms" not in host_state.columns:
+                host_state = host_state.withColumn(
+                    "crawl_delay_ms", F.lit(None).cast("int")
+                )
+            if "robots_allow" not in host_state.columns:
+                host_state = host_state.withColumn(
+                    "robots_allow",
+                    F.lit(None).cast(T.ArrayType(T.StringType())),
+                )
         if host_state is not None and self._any_host_errors:
             hs = F.broadcast(host_state.select("host", "last_error_superstep"))
             gated = gated.join(hs, "host", "left").withColumn(
@@ -551,17 +585,37 @@ class CrawlEngine:
         if cfg.enforce_robots and host_state is not None:
             hr = F.broadcast(
                 host_state.where(F.col("robots_disallow").isNotNull()).select(
-                    "host", "robots_disallow"
+                    "host", "robots_disallow", "robots_allow"
                 )
             )
+
+            def _longest_match(col: str) -> F.Column:
+                # length of the most specific (longest) rule prefix that
+                # matches the URL; 0 when none / no rules for the host
+                return F.coalesce(
+                    F.array_max(
+                        F.transform(
+                            F.coalesce(F.col(col), F.array()),
+                            lambda r: F.when(
+                                F.col("url").startswith(r), F.length(r)
+                            ).otherwise(F.lit(0)),
+                        )
+                    ),
+                    F.lit(0),
+                )
+
+            # RFC 9309 §2.2.2 precedence (round 5, VERDICT r4 #5): the most
+            # specific match wins; Allow wins length ties. A URL is gated
+            # only when some Disallow matches AND no Allow match is at
+            # least as specific.
             gated = gated.join(hr, "host", "left").withColumn(
                 "gate_robots",
-                F.col("robots_disallow").isNull()
-                | ~F.exists(
-                    F.col("robots_disallow"),
-                    lambda r: F.col("url").startswith(r),
+                (_longest_match("robots_disallow") == F.lit(0))
+                | (
+                    _longest_match("robots_allow")
+                    >= _longest_match("robots_disallow")
                 ),
-            ).drop("robots_disallow")
+            ).drop("robots_disallow", "robots_allow")
         else:
             gated = gated.withColumn("gate_robots", F.lit(True))
 
@@ -581,9 +635,9 @@ class CrawlEngine:
             fetched_full = self.fetcher.fetch(to_fetch, approx_rows=approx_rows)
         except TypeError:  # legacy fetcher without the approx_rows hint
             fetched_full = self.fetcher.fetch(to_fetch)
-        extracted = extract.extract_links_dedup_udf(
-            "html", "url", "status", "content_type", "location"
-        )
+        extracted = extract.links_extractor_udf(
+            include_crawl_delay=cfg.enforce_crawl_delay
+        )("html", "url", "status", "content_type", "location")
         if "links" in fetched_full.columns and not cfg.recompute_links:
             # cache-backed fetcher (CachedFetcher): reuse memoized links for
             # hits; misses carry links=NULL and extract as usual. Hit rows
@@ -705,9 +759,14 @@ class CrawlEngine:
             cfg.depth,
         )
         ignored = None
-        # both the ignored-domains aggregate and the robots-rules leg
-        # re-traverse `links`; persist once if any second consumer exists
-        links_persisted = cfg.track_ignored_domains or cfg.enforce_robots
+        # the ignored-domains aggregate, the robots-rules leg and the
+        # crawl-delay leg re-traverse `links`; persist once if any second
+        # consumer exists
+        links_persisted = (
+            cfg.track_ignored_domains
+            or cfg.enforce_robots
+            or cfg.enforce_crawl_delay
+        )
         if links_persisted:
             links = links.persist()
         if cfg.track_ignored_domains:
@@ -881,30 +940,75 @@ class CrawlEngine:
             ),
         ).withColumn(
             "robots_disallow", F.lit(None).cast(T.ArrayType(T.StringType()))
-        )
+        ).withColumn(
+            "robots_allow", F.lit(None).cast(T.ArrayType(T.StringType()))
+        ).withColumn("crawl_delay_ms", F.lit(None).cast("int"))
         prev_hs = host_state if host_state is not None else self.spark.createDataFrame(
             [], schema=self._host_state_schema()
         )
         legs = prev_hs.unionByName(fetch_hosts)
         if cfg.enforce_robots:
-            # harvest newly discovered Disallow rules (robotsTxtExp links,
-            # JCrawler.java:362-365) for the host the rule URL points at
+            # harvest newly discovered Disallow AND Allow rules
+            # (robotsTxtExp links, JCrawler.java:362-365) for the host the
+            # rule URL points at; Allow feeds RFC 9309 precedence in
+            # gate_robots (collect_set drops the when()'s nulls)
             robot_rules = (
-                links.where(F.col("text") == "Disallow")
+                links.where(F.col("text").isin("Disallow", "Allow"))
                 .withColumn("host_rule", urlops.host_col(F.col("url")))
                 .where(F.col("host_rule").isNotNull())
             )
             rules_leg = (
                 robot_rules.groupBy(F.col("host_rule").alias("host"))
-                .agg(F.collect_set("url").alias("robots_disallow"))
+                .agg(
+                    F.collect_set(
+                        F.when(F.col("text") == "Disallow", F.col("url"))
+                    ).alias("robots_disallow"),
+                    F.collect_set(
+                        F.when(F.col("text") == "Allow", F.col("url"))
+                    ).alias("robots_allow"),
+                )
                 .select(
                     "host",
                     F.lit(None).cast("int").alias("last_fetch_superstep"),
                     F.lit(None).cast("int").alias("last_error_superstep"),
                     "robots_disallow",
+                    "robots_allow",
+                    F.lit(None).cast("int").alias("crawl_delay_ms"),
                 )
             )
             legs = legs.unionByName(rules_leg)
+        if cfg.enforce_crawl_delay:
+            # harvest robots 'Crawl-delay: <seconds>' pseudo-links emitted by
+            # the opt-in extractor (url 'crawl-delay:<v>', never accepted, so
+            # they exist only for this leg); keyed by the DISCOVERING page's
+            # host (the robots.txt's own host). Max wins (conservative).
+            delay_leg = (
+                links.where(F.col("text") == "Crawl-delay")
+                .withColumn("host_rule", urlops.host_col(F.col("src_url")))
+                .where(F.col("host_rule").isNotNull())
+                .groupBy(F.col("host_rule").alias("host"))
+                .agg(
+                    F.ceil(
+                        F.max(
+                            F.substring_index(F.col("url"), ":", -1)
+                            .cast("double")
+                        ) * 1000
+                    ).cast("int").alias("crawl_delay_ms")
+                )
+                .select(
+                    "host",
+                    F.lit(None).cast("int").alias("last_fetch_superstep"),
+                    F.lit(None).cast("int").alias("last_error_superstep"),
+                    F.lit(None).cast(T.ArrayType(T.StringType())).alias(
+                        "robots_disallow"
+                    ),
+                    F.lit(None).cast(T.ArrayType(T.StringType())).alias(
+                        "robots_allow"
+                    ),
+                    "crawl_delay_ms",
+                )
+            )
+            legs = legs.unionByName(delay_leg)
         next_hs = legs.groupBy("host").agg(
             F.max("last_fetch_superstep").alias("last_fetch_superstep"),
             F.max("last_error_superstep").alias("last_error_superstep"),
@@ -913,6 +1017,12 @@ class CrawlEngine:
                     F.collect_list(F.coalesce("robots_disallow", F.array()))
                 )
             ).alias("robots_disallow"),
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(F.coalesce("robots_allow", F.array()))
+                )
+            ).alias("robots_allow"),
+            F.max("crawl_delay_ms").alias("crawl_delay_ms"),
         )
 
         # ---- update seen-prefilter with this wave's hashes (distributed) ----

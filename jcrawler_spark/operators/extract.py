@@ -294,7 +294,18 @@ def redirect_link(
 # ---------------------------------------------------------------------------
 
 
-def _extract_batch(html, url, status, content_type, location, dedup: bool):
+# robots.txt Crawl-delay directive (RFC 9309 §2.2's common extension) —
+# NOT part of the reference's 16-matcher contract (JCrawler.java:362-365
+# harvests Sitemap/Allow/Disallow only), so harvesting is OPT-IN via
+# links_extractor_udf(include_crawl_delay=True): the default path stays
+# bit-identical to the reference goldens.
+_CRAWL_DELAY_RE = re.compile(r"(?i)Crawl-delay:\s*(?P<val>[0-9]+(?:\.[0-9]+)?)")
+
+
+def _extract_batch(
+    html, url, status, content_type, location, dedup: bool,
+    include_crawl_delay: bool = False,
+):
     out = []
     for h, u, st, ct, loc in zip(html, url, status, content_type, location):
         st = int(st) if st is not None and not pd.isna(st) else None
@@ -302,6 +313,22 @@ def _extract_batch(html, url, status, content_type, location, dedup: bool):
         if h is not None and is_extractable(st, ct):
             text = bytes(h).decode("utf-8", errors="replace")
             rows = extract_links_py(text, u, 0)
+            if include_crawl_delay:
+                # pseudo-links: url 'crawl-delay:<seconds>' can never match
+                # an accept prefix (never enters the frontier) and never
+                # collides with a page URL (self-filter safe); the engine's
+                # host_state harvest keys them by src_url's host
+                for m in _CRAWL_DELAY_RE.finditer(text):
+                    rows.append(
+                        {
+                            "url": f"crawl-delay:{m.group('val')}",
+                            "raw_href": m.group("val"),
+                            "text": "Crawl-delay",
+                            "is_resource": False,
+                            "is_redirect": False,
+                            "order_in_page": len(rows),
+                        }
+                    )
         r = redirect_link(st, loc if isinstance(loc, str) else None, u)
         if r is not None:
             r = dict(r)
@@ -342,3 +369,24 @@ def extract_links_dedup_udf(
     """extract_links_udf + self-filter + per-page first-occurrence dedup
     (the successor pipeline of JCrawler.java:1233-1238) done batch-side."""
     return _extract_batch(html, url, status, content_type, location, dedup=True)
+
+
+def links_extractor_udf(include_crawl_delay: bool = False):
+    """Engine-facing factory: the dedup extraction UDF, optionally also
+    harvesting robots 'Crawl-delay' directives as pseudo-links (opt-in —
+    only the enforce_crawl_delay engine turns it on; the default path is
+    extract_links_dedup_udf exactly)."""
+    if not include_crawl_delay:
+        return extract_links_dedup_udf
+
+    @F.pandas_udf(schemas.LINKS_ARRAY)
+    def extract_links_dedup_delay_udf(
+        html: pd.Series, url: pd.Series, status: pd.Series,
+        content_type: pd.Series, location: pd.Series,
+    ) -> pd.Series:
+        return _extract_batch(
+            html, url, status, content_type, location,
+            dedup=True, include_crawl_delay=True,
+        )
+
+    return extract_links_dedup_delay_udf

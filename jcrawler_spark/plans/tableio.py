@@ -22,9 +22,12 @@ pointer):
 Crash safety: data written first, marker renamed last; readers only see files
 listed in committed markers, so a crash mid-superstep leaves orphan files that
 are ignored (and reclaimed by `vacuum`). On a real cluster swap this class for
-Iceberg: `append` → table append, `commit` → one multi-table transaction,
-`read` → snapshot-as-of read (MERGE key url_hash; cf. the `.index/<sha256>`
-symlink uniqueness in the reference, JCrawler.java:1005-1010).
+`plans/iceberg.py::IcebergSnapshotStore` — the SAME API on real Iceberg
+tables (`append` → table append snapshot, bucketing → `bucket(nb, url_hash)`
+partition transform, `read` → VERSION AS OF the marker's recorded snapshot
+ids), gated on the runtime jar and contract-tested in tests/test_iceberg.py.
+(MERGE key url_hash; cf. the `.index/<sha256>` symlink uniqueness in the
+reference, JCrawler.java:1005-1010.)
 """
 
 from __future__ import annotations

@@ -80,6 +80,8 @@ HOST_STATE = T.StructType(
         T.StructField("last_error_ts", T.TimestampType(), True),
         T.StructField("crawl_delay_ms", T.IntegerType(), True),
         T.StructField("robots_disallow", T.ArrayType(T.StringType()), True),
+        # RFC 9309 Allow carve-outs (longest-match precedence vs Disallow)
+        T.StructField("robots_allow", T.ArrayType(T.StringType()), True),
     ]
 )
 

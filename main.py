@@ -107,7 +107,134 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def build_analyze_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="jcrawl-spark analyze",
+        description="Training-data pipeline over a finished crawl: "
+        "near-dup dedup + language/quality filters + optional PageRank "
+        "export reusable as --priority-scores for the next crawl.",
+    )
+    p.add_argument("--state", required=True,
+                   help="crawl state dir (pages table = what was crawled)")
+    p.add_argument("--corpus", required=True,
+                   help="bodies parquet the crawl fetched from (url, text/html)")
+    p.add_argument("--out", required=True,
+                   help="output parquet dir for the filtered corpus")
+    p.add_argument("--no-dedup", action="store_true",
+                   help="skip MinHash/LSH near-dup clustering")
+    p.add_argument("--min-quality", type=float, default=None,
+                   help="drop docs with textops.quality_score below this")
+    p.add_argument("--lang", default=None,
+                   help="comma-separated lang_id whitelist (e.g. en,ro)")
+    p.add_argument("--export-pagerank", default=None, metavar="PARQUET",
+                   help="write (url_hash, score) PageRank over the memoized "
+                        "link graph — feed it back via --priority-scores")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def analyze_main(argv: list[str], stop_session: bool = True) -> int:
+    """The `analyze` subcommand (round 5, VERDICT r4 #6): drive the
+    LLM-training-data operator family end-to-end from the CLI —
+    crawl state + bodies → duplicate_groups → dedup_corpus → quality/lang
+    filters → filtered corpus parquet (+ optional PageRank export)."""
+    args = build_analyze_parser().parse_args(argv)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from jcrawler_spark.functions import textops, urlops
+    from jcrawler_spark.operators import dedup as dedup_ops
+    from jcrawler_spark.operators import graph as graph_ops
+    from jcrawler_spark.plans.tableio import SnapshotStore
+    from jcrawler_spark.session import get_spark
+
+    spark = get_spark(args.master, app_name="jcrawl-analyze")
+    store = SnapshotStore(args.state, spark)
+    meta = store.read("pages")
+    if meta is None:
+        print("error: no pages table in --state", file=sys.stderr)
+        return 2
+    # latest successful observation per URL (expiry re-fetch appends rows)
+    latest = Window.partitionBy("url").orderBy(
+        F.desc("superstep"), F.desc("order_key")
+    )
+    crawled = (
+        meta.where(
+            ~F.col("skipped") & F.col("error").isNull()
+            & (F.col("status") == 200)
+        )
+        .withColumn("_rn", F.row_number().over(latest))
+        .where(F.col("_rn") == 1)
+        .select("url", "url_hash")
+    )
+    bodies = spark.read.parquet(args.corpus)
+    text_expr = (
+        F.coalesce(F.col("text"), F.decode(F.col("html"), "UTF-8"))
+        if "text" in bodies.columns and "html" in bodies.columns
+        else (F.col("text") if "text" in bodies.columns
+              else F.decode(F.col("html"), "UTF-8"))
+    )
+    docs = (
+        crawled.join(bodies.select("url", text_expr.alias("_text")), "url")
+        .where(F.col("_text").isNotNull())
+        .withColumn("doc_id", F.xxhash64("url"))
+    )
+    counts = {"crawled_docs": docs.count()}
+
+    if args.lang:
+        langs = [x.strip() for x in args.lang.split(",") if x.strip()]
+        docs = docs.where(textops.lang_id_col(F.col("_text")).isin(langs))
+    if args.min_quality is not None:
+        docs = docs.where(
+            textops.quality_score_col(F.col("_text")) >= args.min_quality
+        )
+    docs = docs.persist()
+    counts["after_filters"] = docs.count()
+
+    if not args.no_dedup:
+        groups = dedup_ops.duplicate_groups(docs, text_col="_text",
+                                            id_col="doc_id")
+        kept = dedup_ops.dedup_corpus(docs, groups, id_col="doc_id")
+    else:
+        kept = docs
+    out_df = kept.select("url", "url_hash", F.col("_text").alias("text"))
+    out_df.write.mode("overwrite").parquet(args.out)
+    counts["kept"] = spark.read.parquet(args.out).count()
+    docs.unpersist()
+
+    if args.export_pagerank:
+        # memoized link graph → authority scores keyed by url_hash, the
+        # shape engine.set_priority_scores consumes
+        edges_raw = graph_ops.link_graph_from_pages(meta)
+        nodes = meta.select("url_hash").distinct()
+        edges = edges_raw.select(
+            F.xxhash64("src_hash").alias("src"),
+            F.xxhash64(urlops.url_hash_col(F.col("dst_url"))).alias("dst"),
+        )
+        pr = graph_ops.pagerank(
+            edges, nodes.select(F.xxhash64("url_hash").alias("doc_id")),
+        )
+        scores = (
+            nodes.withColumn("_id", F.xxhash64("url_hash"))
+            .join(pr, F.col("_id") == F.col("doc_id"))
+            .select("url_hash", F.col("rank").alias("score"))
+        )
+        scores.write.mode("overwrite").parquet(args.export_pagerank)
+        counts["pagerank_rows"] = spark.read.parquet(
+            args.export_pagerank
+        ).count()
+
+    print(json.dumps(counts))
+    if stop_session:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "analyze":
+        return analyze_main(argv[1:], stop_session=stop_session)
     args = build_parser().parse_args(argv)
     if args.cdx_index and not args.export_warc:
         print("error: --cdx-index indexes a fresh archive; it needs "

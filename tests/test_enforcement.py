@@ -125,3 +125,107 @@ def test_real_clock_paces_supersteps(spark, tmp_path):
     # pacing changes nothing about the crawl itself
     eng_off, _ = _run(spark, tmp_path, "unpaced")
     assert eng.visited_set() == eng_off.visited_set()
+
+
+def _page(url, body, links=()):
+    html = body + "".join(f"<a href='{u}'>x</a>" for u in links)
+    return (url, bytearray(html.encode()), 200, None, "text/html", "")
+
+
+def _custom_run(spark, tmp_path, name, rows, seeds, accept, **cfg_kwargs):
+    pages = spark.createDataFrame(
+        rows,
+        "url string, html binary, status int, location string, "
+        "content_type string, text string",
+    )
+    cfg = CrawlConfig(accept=accept, max_docs=500, max_connections=None,
+                      **cfg_kwargs)
+    root = str(tmp_path / name)
+    shutil.rmtree(root, ignore_errors=True)
+    eng = CrawlEngine(spark, cfg, SyntheticFetcher(pages), root)
+    stats = eng.run(seeds=seeds, max_supersteps=40)
+    return eng, stats
+
+
+def test_per_host_crawl_delay_from_robots(spark, tmp_path):
+    """VERDICT r4 #4: 'Crawl-delay:' harvested from a host's robots body
+    becomes host_state.crawl_delay_ms and defers THAT host's later waves,
+    while other hosts run at the global (1s) cadence — two hosts, two
+    different delays, wave membership checked per logical tick."""
+    A, B = "https://slow.example", "https://fast.example"
+    rows = [
+        _page(f"{A}/", "<pre>Crawl-delay: 3\n</pre>",
+              [f"{A}/p{i}" for i in (1, 2, 3)]),
+        _page(f"{B}/", "no directives here",
+              [f"{B}/p{i}" for i in (1, 2, 3)]),
+    ] + [
+        _page(f"{h}/p{i}", "leaf") for h in (A, B) for i in (1, 2, 3)
+    ]
+    eng, _ = _custom_run(
+        spark, tmp_path, "perhost", rows, [f"{A}/", f"{B}/"],
+        [A, B],
+        enforce_crawl_delay=True, crawl_delay_seconds=1,
+        seconds_per_superstep=1, per_host_budget=1,
+    )
+    hs = {r["host"]: r for r in eng.store.read("host_state").collect()}
+    assert hs["slow.example"]["crawl_delay_ms"] == 3000
+    assert hs["fast.example"]["crawl_delay_ms"] is None
+    pages = eng.store.read("pages").where(~F.col("skipped"))
+    steps = {
+        h: sorted(
+            r["superstep"]
+            for r in pages.where(F.col("host") == h).collect()
+        )
+        for h in ("slow.example", "fast.example")
+    }
+    # everything is eventually fetched (defer, never drop)
+    assert len(steps["slow.example"]) == 4 and len(steps["fast.example"]) == 4
+    # fast host: global 1s delay on a 1s tick = consecutive supersteps
+    for a, b in zip(steps["fast.example"], steps["fast.example"][1:]):
+        assert b - a >= 1
+    # slow host: >= 3 logical ticks between fetches AFTER the delay was
+    # harvested (the root fetch at tick 1 discovers it)
+    slow = steps["slow.example"]
+    for a, b in zip(slow[1:], slow[2:]):
+        assert b - a >= 3, f"slow.example fetched at {a} then {b}"
+    # and strictly slower than the fast host overall
+    assert slow[-1] - slow[1] >= 3 * (len(slow) - 2)
+
+
+def test_robots_allow_overrides_disallow(spark, tmp_path):
+    """VERDICT r4 #5, RFC 9309 §2.2.2: an Allow carve-out INSIDE a
+    Disallowed prefix wins when it is at least as specific; a less
+    specific Allow does not."""
+    H0 = "https://site.example"
+    # directives live on their own page (like a real robots.txt): the
+    # per-page first-wins dedup (reference semantics) would otherwise
+    # collapse an anchor and an Allow rule for the same URL into one row
+    robots = (
+        "<pre>Disallow: /private/\nAllow: /private/ok\n"
+        "Disallow: /vault/deep/\nAllow: /vault\n</pre>"
+    )
+    rows = [
+        _page(f"{H0}/", robots, [f"{H0}/hub"]),
+        _page(f"{H0}/hub", "link hub",
+              [f"{H0}/private/ok", f"{H0}/private/secret",
+               f"{H0}/vault/deep/x", f"{H0}/open"]),
+        _page(f"{H0}/private/ok", "carved out"),
+        _page(f"{H0}/private/secret", "blocked"),
+        _page(f"{H0}/vault/deep/x", "blocked too"),
+        _page(f"{H0}/open", "plain"),
+    ]
+    eng, _ = _custom_run(
+        spark, tmp_path, "allowprec", rows, [f"{H0}/"], [H0],
+        enforce_robots=True,
+    )
+    got = {
+        r["url"]: (r["skipped"], r["status"])
+        for r in eng.store.read("pages").collect()
+    }
+    assert got[f"{H0}/open"] == (False, 200)
+    # Allow: /private/ok is MORE specific than Disallow: /private/ → fetched
+    assert got[f"{H0}/private/ok"] == (False, 200)
+    # no carve-out matches /private/secret → consumed without fetching
+    assert got[f"{H0}/private/secret"] == (True, None)
+    # Allow: /vault is LESS specific than Disallow: /vault/deep/ → blocked
+    assert got[f"{H0}/vault/deep/x"] == (True, None)
