@@ -1938,6 +1938,76 @@ FROM (
 """
 
 
+def q_robots_precedence(spark, sf_dir):
+    """RFC 9309 §2.2.2 rule precedence — the engine's opt-in gate_robots
+    expression (accept.robots_allowed_col, round 5; the reference extracts
+    robots directives as links, JCrawler.java:362-365, but never enforces
+    them — README.md:208). Deterministic per-row rule sets synthesized from
+    documents cover: more-specific Allow (allowed), less-specific Allow
+    (still blocked), exact length tie (Allow wins), no Allow (blocked),
+    NULL rule arrays, and URLs no rule matches."""
+    d = F.col("doc_id").cast("long")
+    v = (d % 6).cast("int")
+    host = F.lit("https://s.example")
+    dis = F.concat(host, F.lit("/d"), (d % 5).cast("string"), F.lit("/"))
+    url = F.when(
+        v.isin(0, 2, 4), F.concat(dis, F.lit("page"), d.cast("string"))
+    ).otherwise(F.concat(host, F.lit("/open/p"), d.cast("string")))
+    disallow = F.when(
+        v != 1, F.array(dis, F.concat(host, F.lit("/never/")))
+    )  # v==1 -> NULL array (gate must treat as no rules)
+    allow = (
+        F.when(v == 0, F.array(F.concat(dis, F.lit("page"))))
+        .when(v == 2, F.array(F.concat(host, F.lit("/"))))
+        .when(v.isin(4, 5), F.array(dis))
+    )  # v in (1,3) -> NULL
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            d.alias("doc_id"),
+            url.alias("url"),
+            disallow.alias("disallow"),
+            allow.alias("allow"),
+        )
+        .select(
+            "doc_id",
+            "url",
+            accept_ops.robots_allowed_col(
+                F.col("url"), F.col("disallow"), F.col("allow")
+            ).alias("allowed"),
+        )
+    )
+
+
+_ROBOTS_PRECEDENCE_SQL = """
+WITH t AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         CAST(doc_id % 6 AS INT) AS v,
+         'https://s.example/d' || (doc_id % 5) || '/' AS dis
+  FROM documents
+), u AS (
+  SELECT doc_id,
+    CASE WHEN v IN (0, 2, 4) THEN dis || 'page' || doc_id
+         ELSE 'https://s.example/open/p' || doc_id END AS url,
+    CASE WHEN v <> 1 THEN [dis, 'https://s.example/never/'] END AS disallow,
+    CASE v WHEN 0 THEN [dis || 'page']
+           WHEN 2 THEN ['https://s.example/']
+           WHEN 4 THEN [dis]
+           WHEN 5 THEN [dis] END AS allow
+  FROM t
+)
+SELECT doc_id, url,
+  (coalesce(list_max(list_transform(disallow,
+      r -> CASE WHEN starts_with(url, r) THEN length(r) ELSE 0 END)), 0) = 0
+   OR coalesce(list_max(list_transform(allow,
+      r -> CASE WHEN starts_with(url, r) THEN length(r) ELSE 0 END)), 0)
+      >= coalesce(list_max(list_transform(disallow,
+      r -> CASE WHEN starts_with(url, r) THEN length(r) ELSE 0 END)), 0)
+  ) AS allowed
+FROM u
+"""
+
+
 def q_seed_search(spark, sf_dir):
     """S7 search seeder, bulk form (JSeeder.java:13-43): harvest seed URLs
     from a corpus of SERP snapshots — anchor hrefs in document order, the
@@ -2115,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_html": q_normalize_html,
         "page_diff": q_page_diff,
         "seed_search": q_seed_search,
+        "robots_precedence": q_robots_precedence,
         "content_path_initial_old": q_content_path_initial_old,
         "crawl_wave": q_crawl_wave,
         "crawl_emission": q_crawl_emission,
@@ -2165,6 +2236,7 @@ def oracle_sql() -> dict[str, str]:
         "normalize_html": _normalize_html_oracle_sql(),
         "page_diff": _page_diff_oracle_sql(),
         "seed_search": _SEED_SEARCH_SQL,
+        "robots_precedence": _ROBOTS_PRECEDENCE_SQL,
         "content_path_initial_old": _CPIO_SQL,
         "crawl_wave": _CRAWL_WAVE_SQL,
         "crawl_emission": _CRAWL_EMISSION_SQL,

@@ -589,31 +589,15 @@ class CrawlEngine:
                 )
             )
 
-            def _longest_match(col: str) -> F.Column:
-                # length of the most specific (longest) rule prefix that
-                # matches the URL; 0 when none / no rules for the host
-                return F.coalesce(
-                    F.array_max(
-                        F.transform(
-                            F.coalesce(F.col(col), F.array()),
-                            lambda r: F.when(
-                                F.col("url").startswith(r), F.length(r)
-                            ).otherwise(F.lit(0)),
-                        )
-                    ),
-                    F.lit(0),
-                )
-
-            # RFC 9309 §2.2.2 precedence (round 5, VERDICT r4 #5): the most
-            # specific match wins; Allow wins length ties. A URL is gated
-            # only when some Disallow matches AND no Allow match is at
-            # least as specific.
+            # RFC 9309 §2.2.2 precedence (round 5, VERDICT r4 #5): most
+            # specific match wins, Allow wins ties — shared Column form,
+            # oracle-pinned by the robots_precedence contract query
             gated = gated.join(hr, "host", "left").withColumn(
                 "gate_robots",
-                (_longest_match("robots_disallow") == F.lit(0))
-                | (
-                    _longest_match("robots_allow")
-                    >= _longest_match("robots_disallow")
+                accept_ops.robots_allowed_col(
+                    F.col("url"),
+                    F.col("robots_disallow"),
+                    F.col("robots_allow"),
                 ),
             ).drop("robots_disallow", "robots_allow")
         else:

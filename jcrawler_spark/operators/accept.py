@@ -124,6 +124,42 @@ def accept_col(
     )
 
 
+def _longest_rule_match(url: Column, rules: Column) -> Column:
+    """Length of the most specific (longest) rule prefix in `rules`
+    (array<string>, nullable) matching `url`; 0 when none match or the
+    array is null/empty. Pure Column expression (JVM codegen)."""
+    return F.coalesce(
+        F.array_max(
+            F.transform(
+                F.coalesce(rules, F.array()),
+                lambda r: F.when(url.startswith(r), F.length(r)).otherwise(
+                    F.lit(0)
+                ),
+            )
+        ),
+        F.lit(0),
+    )
+
+
+def robots_allowed_col(
+    url: Column, disallow: Column, allow: Column
+) -> Column:
+    """RFC 9309 §2.2.2 rule precedence as a pure Column expression: the
+    most specific (longest) matching rule wins, and `Allow` wins length
+    ties — a URL is gated only when some Disallow prefix matches AND no
+    Allow match is at least as specific. Both rule columns are
+    array<string> of URL prefixes (null/empty = no rules → allowed).
+
+    North-rule enforcement delta: the reference EXTRACTS robots directives
+    as links (JCrawler.java:362-365) but never enforces them (README.md:208);
+    the engine's opt-in `enforce_robots` gate routes through this exact
+    expression, and the `robots_precedence` contract query pins it against
+    a DuckDB oracle."""
+    return (_longest_rule_match(url, disallow) == F.lit(0)) | (
+        _longest_rule_match(url, allow) >= _longest_rule_match(url, disallow)
+    )
+
+
 def ignored_domain_col(
     url: Column,
     depth: Column,
