@@ -392,8 +392,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
             )
             print(f"indexed {n_idx} records to {args.cdx_index}")
 
-    result_path = os.path.join(args.state, ".crawl-result.json")
     os.makedirs(args.state, exist_ok=True)
+    # result sink parity (JCrawler.java:686-694): the reference writes
+    # `.crawl-result.yaml` {config, ignoredExternalDomains, stats} via
+    # Nodes.yml; same keys here. JSON twin kept for machine consumers.
+    try:
+        import yaml
+
+        with open(os.path.join(args.state, ".crawl-result.yaml"), "w") as f:
+            yaml.safe_dump(final_result, f, sort_keys=False)
+    except ImportError:
+        pass  # YAML lib absent: the JSON twin below is the record
+    result_path = os.path.join(args.state, ".crawl-result.json")
     with open(result_path, "w") as f:
         json.dump(final_result, f, indent=2)
     print(json.dumps({**final_result["stats"],

@@ -282,6 +282,11 @@ def test_cli_end_to_end(spark, tmp_path, capsys):
     assert res["stats"]["totalLinks"] > 0
     assert res["config"]["max_docs"] == 60
     assert res["ignoredExternalDomains"]
+    # YAML twin (reference parity, JCrawler.java:686-694): same content
+    import yaml
+
+    with open(os.path.join(state, ".crawl-result.yaml")) as f:
+        assert yaml.safe_load(f) == res
 
 
 def test_cli_postorder_and_expire_reachable():
