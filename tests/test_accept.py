@@ -100,3 +100,67 @@ def test_ignored_domains_aggregate(spark):
     df = spark.createDataFrame(rows, ["url", "depth", "is_resource", "is_redirect"])
     out = accept.ignored_domains(accept.with_accept(df, s)).collect()
     assert [r["host"] for r in out] == ["alpha.com", "zeta.com"]
+
+
+def test_large_accept_set_joins(spark):
+    """Scale regression: inlining the accept set as an Or expression dies
+    twice over at size — left-deep chains stack-overflow Catalyst analysis
+    near ~500 prefixes, and even balanced trees kill the JVM near ~8k terms
+    (janino codegen + optimizer constraint propagation). Above
+    ACCEPT_EXPR_MAX the match must route through the broadcast prefix-table
+    join. 5000 hosts here — a modest multi-host crawl — must plan small,
+    run, and evaluate correctly."""
+    s = accept.build_accept_set(
+        [f"https://h{i}.example" for i in range(5000)]
+    )
+    assert len(s) == 20000  # 4 template expansions per host
+    rows = [
+        ("https://h4321.example/deep/page", 1, False, False),  # in set
+        ("http://www.h0.example/", 1, False, False),           # in set
+        ("https://h5001.example/x", 1, False, False),          # not in set
+        ("https://h0.example.evil.com/x", 1, False, False),    # string-prefix
+    ]
+    df = spark.createDataFrame(rows, ["url", "depth", "is_resource", "is_redirect"])
+    out = accept.with_accept(df, s)
+    # the join must not inline the set: plan string stays O(1) in |s|
+    assert len(out._jdf.queryExecution().optimizedPlan().toString()) < 20_000
+    got = {r["url"]: r["accepted"] for r in out.collect()}
+    assert got["https://h4321.example/deep/page"] is True
+    assert got["http://www.h0.example/"] is True
+    assert got["https://h5001.example/x"] is False
+    # pure string-prefix semantics, NOT host equality: "https://h0.example"
+    # is a prefix of this URL even though the registrable host differs
+    assert got["https://h0.example.evil.com/x"] is True
+
+
+def test_join_path_equals_expression_oracle(spark):
+    """The join form and the pure-Python reference form must agree row-for-
+    row on a URL mix straddling every gate (protocol, depth, resource,
+    redirect, prefix hit/miss, shorter-than-key URLs)."""
+    prefixes = sorted(
+        {f"https://site{i}.org" for i in range(200)} | {"https://deep.org/a/b"}
+    )
+    assert len(prefixes) > accept.ACCEPT_EXPR_MAX
+    rows = []
+    for i, u in enumerate(
+        [
+            "https://site7.org/page",
+            "https://site199.org",
+            "https://site200.org/x",
+            "https://deep.org/a/b/c",
+            "https://deep.org/a/",
+            "mailto:x@site7.org",
+            "javascript:void(0)",
+            "https://s",  # shorter than the join key
+            "",
+        ]
+    ):
+        rows.append((u, i % 4, i % 3 == 0, i % 5 == 0))
+    df = spark.createDataFrame(rows, ["url", "depth", "is_resource", "is_redirect"])
+    got = {
+        r["url"]: (r["accepted"], r["ignored_domain"])
+        for r in accept.with_accept(df, prefixes, max_depth=2).collect()
+    }
+    for u, d, res, red in rows:
+        want = accept.accept_link(u, d, res, red, prefixes, max_depth=2)
+        assert got[u] == want, (u, got[u], want)
