@@ -749,11 +749,30 @@ class CrawlEngine:
         )
         if links_persisted:
             links = links.persist()
+        ignored_leg = None
         if cfg.track_ignored_domains:
             ignored = (
                 links.where(F.col("ignored_domain").isNotNull())
                 .select(F.col("ignored_domain").alias("host"))
                 .distinct()
+            )
+            # emptiness rides the stats collect below (kind='ign', one
+            # global-count row over the persisted links cache): a superstep
+            # whose accept set covers every link — the accept-everything
+            # 10^10-frontier crawl shape — skips the ignored_domains write
+            # job entirely instead of appending an empty delta
+            ignored_leg = (
+                links.where(F.col("ignored_domain").isNotNull())
+                .groupBy()
+                .agg(F.count(F.lit(1)).alias("rows_in"))
+                .select(
+                    F.lit("ign").alias("kind"),
+                    F.lit(0).alias("key"),
+                    "rows_in",
+                    F.lit(0).cast("long").alias("fetched"),
+                    F.lit(0).cast("long").alias("errors"),
+                    F.lit(0).cast("long").alias("skipped"),
+                )
             )
 
         accepted = links.where(F.col("accepted"))
@@ -838,13 +857,19 @@ class CrawlEngine:
                     F.lit(0).cast("long").alias("skipped"),
                 )
             )
-            stat_rows = lineage_leg.unionByName(counts_leg).collect()
+            stats_src = lineage_leg.unionByName(counts_leg)
         else:
-            stat_rows = lineage_leg.collect()
+            stats_src = lineage_leg
+        if ignored_leg is not None:
+            stats_src = stats_src.unionByName(ignored_leg)
+        stat_rows = stats_src.collect()
         lineage_rows = [r for r in stat_rows if r["kind"] == "lin"]
         fetch_n = sum(r["rows_in"] for r in lineage_rows)
         err_n = sum(r["errors"] for r in lineage_rows)
         skipped_n = sum(r["skipped"] for r in lineage_rows)
+        ignored_n = sum(
+            int(r["rows_in"]) for r in stat_rows if r["kind"] == "ign"
+        )
         _tick("fetch+extract+stats", tick)
 
         if cfg.overlap_writes and not inline:
@@ -1058,7 +1083,7 @@ class CrawlEngine:
             replaces["frontier_add"] = compacted
         elif frontier_add is not None:
             appends["frontier_add"] = frontier_add
-        if ignored is not None:
+        if ignored is not None and ignored_n > 0:
             appends["ignored_domains"] = ignored.withColumn("superstep", F.lit(s))
         late_futs = self.store.stage_async(
             s,
