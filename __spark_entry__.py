@@ -1395,6 +1395,211 @@ FROM documents
 """
 
 
+# Deterministic multi-line synthesis shared by the repetition / paragraph
+# queries: the documents table is single-line, so both engines rebuild the
+# SAME line structure from substrings (lines 1 and 3 identical -> real
+# intra-doc duplicates; first-80-char prefixes + a global footer -> real
+# cross-doc duplicates).
+
+
+def _multiline_col():
+    return F.concat_ws(
+        "\n",
+        F.substring(F.col("text"), 1, 80),
+        F.substring(F.col("text"), 41, 80),
+        F.substring(F.col("text"), 1, 80),
+        F.substring(F.col("text"), 81, 60),
+    )
+
+
+_MULTILINE_SQL = (
+    "substr(text,1,80) || chr(10) || substr(text,41,80) || chr(10) || "
+    "substr(text,1,80) || chr(10) || substr(text,81,60)"
+)
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition signals (dup-line fraction, dup-line char
+    fraction, top word-2-gram fraction) — map-only higher-order-function
+    forms, zero shuffles (textops.py 'repetition signals')."""
+    docs = _t(spark, sf_dir, "documents")
+    mt = _multiline_col()
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(textops.dup_line_frac_col(mt), 4).alias("dup_line_frac"),
+        F.round(textops.dup_line_char_frac_col(mt), 4).alias(
+            "dup_line_char_frac"
+        ),
+        F.round(textops.top_bigram_frac_col(F.col("text")), 4).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+_REPETITION_SQL = f"""
+WITH m AS (
+  SELECT doc_id, {_MULTILINE_SQL} AS mt, text FROM documents
+), l AS (
+  SELECT doc_id, u.s AS line
+  FROM m, unnest(list_filter(string_split(mt, chr(10)),
+                             x -> trim(x) <> '')) u(s)
+), lc AS (
+  SELECT doc_id, line,
+         count(*) OVER (PARTITION BY doc_id, line) AS cnt
+  FROM l
+), lstats AS (
+  SELECT doc_id,
+         count(*) AS n_lines,
+         count(DISTINCT line) AS n_distinct,
+         sum(length(line)) AS total_chars,
+         sum(CASE WHEN cnt > 1 THEN length(line) ELSE 0 END) AS dup_chars
+  FROM lc GROUP BY doc_id
+), w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM m
+), g AS (
+  SELECT doc_id, u.s AS gram
+  FROM w, unnest(
+    CASE WHEN len(ws) < 2 THEN []::VARCHAR[]
+         ELSE list_transform(list_slice(ws, 1, len(ws) - 1),
+                             (x, i) -> x || ' ' || list_extract(ws, i + 1))
+    END) u(s)
+), gc AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+), gstats AS (
+  SELECT doc_id, max(c) AS best, sum(c) AS tot FROM gc GROUP BY doc_id
+)
+SELECT d.doc_id,
+  round(coalesce((n_lines - n_distinct) * 1.0 / nullif(n_lines, 0), 0), 4)
+    AS dup_line_frac,
+  round(coalesce(dup_chars * 1.0 / nullif(total_chars, 0), 0), 4)
+    AS dup_line_char_frac,
+  round(coalesce(best * 1.0 / nullif(tot, 0), 0), 4) AS top_bigram_frac
+FROM documents d
+LEFT JOIN lstats USING (doc_id)
+LEFT JOIN gstats USING (doc_id)
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails, then phone-like digit runs) over documents
+    augmented with synthesized deterministic PII — the corpus itself is
+    clean, so both engines append the same addresses/numbers keyed on
+    doc_id, giving known-ground-truth redaction counts."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@example.org or admin@ex.co"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" call +40 (721) 555-00"),
+                (did % 89 + 10).cast("string"),
+                F.lit(" today"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select(
+        did.cast("long").alias("doc_id"),
+        textops.email_count_col(aug).cast("long").alias("n_emails"),
+        textops.phone_count_col(aug).cast("long").alias("n_phones"),
+        F.sha2(textops.pii_scrub_col(aug), 256).alias("scrub_sha"),
+    )
+
+
+_PII_SQL = f"""
+WITH a AS (
+  SELECT doc_id,
+    text
+    || (CASE WHEN doc_id % 3 = 0
+         THEN ' contact user' || doc_id || '@example.org or admin@ex.co'
+         ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+         THEN ' call +40 (721) 555-00' || (doc_id % 89 + 10) || ' today'
+         ELSE '' END) AS aug
+  FROM documents
+), e AS (
+  SELECT doc_id, aug,
+    len(regexp_extract_all(aug, '{textops.EMAIL_PATTERN}')) AS n_emails,
+    regexp_replace(aug, '{textops.EMAIL_PATTERN}', '<EMAIL>', 'g') AS noem
+  FROM a
+)
+SELECT doc_id,
+  n_emails::BIGINT AS n_emails,
+  len(regexp_extract_all(noem, '{textops.PHONE_PATTERN}'))::BIGINT AS n_phones,
+  sha256(regexp_replace(noem, '{textops.PHONE_PATTERN}', '<PHONE>', 'g'))
+    AS scrub_sha
+FROM e
+"""
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide paragraph dedup (operators/dedup.py
+    dedup_paragraphs): per-source headers survive once per source, the
+    global footer survives exactly once, duplicated substring lines keep
+    only their (doc_id, pos)-first occurrence."""
+    docs = _t(spark, sf_dir, "documents")
+    multi = docs.select(
+        F.col("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("source: "), F.col("source")),
+            F.substring(F.col("text"), 1, 80),
+            F.substring(F.col("text"), 41, 80),
+            F.lit("(c) corpus footer - all rights reserved"),
+        ).alias("text"),
+    )
+    out = dedup.dedup_paragraphs(multi)
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.sha2(F.col("clean_text"), 256).alias("clean_sha"),
+    )
+
+
+_PARAGRAPH_DEDUP_SQL = """
+WITH m AS (
+  SELECT doc_id,
+    'source: ' || source || chr(10) ||
+    substr(text,1,80) || chr(10) ||
+    substr(text,41,80) || chr(10) ||
+    '(c) corpus footer - all rights reserved' AS mt
+  FROM documents
+), p AS (
+  SELECT doc_id, u.s['pos'] AS pos, u.s['para'] AS para
+  FROM m, unnest(list_transform(string_split(mt, chr(10)),
+                 (x, i) -> {'para': x, 'pos': i})) u(s)
+  WHERE trim(u.s['para']) <> ''
+), r AS (
+  SELECT doc_id, pos, para,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+  FROM p
+), tot AS (
+  SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id
+), k AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(para, chr(10) ORDER BY pos) AS clean_text
+  FROM r WHERE rn = 1 GROUP BY doc_id
+)
+SELECT t.doc_id,
+       t.n_paras::BIGINT AS n_paras,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       sha256(coalesce(k.clean_text, '')) AS clean_sha
+FROM tot t LEFT JOIN k USING (doc_id)
+"""
+
+
 def q_normalize_html(spark, sf_dir):
     """JScraper normalize analogue (JScraper.java:101-126) over synthetic
     crawled pages: canonical-form sha256 per url. The oracle pins the exact
@@ -2182,6 +2387,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_count": q_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
+        "paragraph_dedup": q_paragraph_dedup,
         "normalize_html": q_normalize_html,
         "page_diff": q_page_diff,
         "seed_search": q_seed_search,
@@ -2233,6 +2441,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _QUALITY_SQL,
         "token_count": _TOKEN_SQL,
         "doc_fingerprint": _FINGERPRINT_SQL,
+        "repetition_stats": _REPETITION_SQL,
+        "pii_scrub": _PII_SQL,
+        "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "normalize_html": _normalize_html_oracle_sql(),
         "page_diff": _page_diff_oracle_sql(),
         "seed_search": _SEED_SEARCH_SQL,

@@ -226,6 +226,9 @@ def main() -> None:
         "dedup_groups",
         "normalize_html",
         "page_diff",
+        "paragraph_dedup",
+        "repetition_stats",
+        "pii_scrub",
     )
     for name in op_names:
         fn = entrymod.queries()[name]

@@ -199,3 +199,174 @@ def doc_fingerprint(text: str, k: int = 8) -> int:
     else:
         h = min(fnv1a64(text[i : i + k]) for i in range(len(text) - k + 1))
     return h - (1 << 64) if h >= (1 << 63) else h
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality rules) — map-only, no shuffle
+# ---------------------------------------------------------------------------
+#
+# All three are per-document signals computed entirely inside the row with
+# higher-order functions (array_sort + zip_with/aggregate): O(n log n) per
+# doc, whole-stage codegen, ZERO shuffles — at 100 TB these run at scan
+# speed. A pathological 10^5-line doc costs one in-row sort, never a
+# cross-row operation.
+
+
+def _nonempty_lines(text: str) -> list[str]:
+    return [l for l in text.split("\n") if l.strip() != ""]
+
+
+def dup_line_frac(text: str) -> float:
+    """Fraction of non-empty lines that are repeats of an earlier line
+    (Gopher 'duplicate line fraction'). 0.0 for <=1 line."""
+    lines = _nonempty_lines(text)
+    if not lines:
+        return 0.0
+    return (len(lines) - len(set(lines))) / len(lines)
+
+
+def dup_line_char_frac(text: str) -> float:
+    """Fraction of characters (over non-empty lines) that sit in a line
+    occurring more than once in the document."""
+    lines = _nonempty_lines(text)
+    total = sum(len(l) for l in lines)
+    if total == 0:
+        return 0.0
+    from collections import Counter
+
+    cnt = Counter(lines)
+    dup = sum(len(l) for l in lines if cnt[l] > 1)
+    return dup / total
+
+
+def top_bigram_frac(text: str) -> float:
+    """Occurrences of the most frequent word 2-gram / total 2-grams
+    (lower-cased, whitespace tokens). 0.0 when fewer than 2 words."""
+    words = [w for w in text.lower().split() if w]
+    grams = [words[i] + " " + words[i + 1] for i in range(len(words) - 1)]
+    if not grams:
+        return 0.0
+    from collections import Counter
+
+    return Counter(grams).most_common(1)[0][1] / len(grams)
+
+
+def _nonempty_lines_col(text: Column) -> Column:
+    return F.filter(F.split(text, "\n"), lambda l: F.trim(l) != F.lit(""))
+
+
+def dup_line_frac_col(text: Column) -> Column:
+    lines = _nonempty_lines_col(text)
+    n = F.size(lines).cast("double")
+    d = F.size(F.array_distinct(lines)).cast("double")
+    return F.when(n == 0, F.lit(0.0)).otherwise((n - d) / n)
+
+
+def _dup_flags(sorted_arr: Column) -> Column:
+    """Per-position flag: this element equals a neighbour in the SORTED
+    array (i.e. occurs more than once). NULL sentinels pad the shifted
+    copies — impossible as real values, eqNullSafe-compared."""
+    n = F.size(sorted_arr)
+    null_s = F.array(F.lit(None).cast("string"))
+    prev = F.concat(null_s, F.slice(sorted_arr, 1, F.greatest(n - 1, F.lit(0))))
+    nxt = F.concat(F.slice(sorted_arr, 2, F.greatest(n - 1, F.lit(0))), null_s)
+    prev_eq = F.zip_with(sorted_arr, prev, lambda a, b: a.eqNullSafe(b))
+    next_eq = F.zip_with(sorted_arr, nxt, lambda a, b: a.eqNullSafe(b))
+    return F.zip_with(prev_eq, next_eq, lambda x, y: x | y)
+
+
+def dup_line_char_frac_col(text: Column) -> Column:
+    lines = F.array_sort(_nonempty_lines_col(text))
+    flags = _dup_flags(lines)
+    dup_chars = F.aggregate(
+        F.zip_with(
+            lines,
+            flags,
+            lambda l, f: F.when(f, F.length(l)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    ).cast("double")
+    total = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, l: acc + F.length(l)
+    ).cast("double")
+    return F.when(total == 0, F.lit(0.0)).otherwise(dup_chars / total)
+
+
+def top_bigram_frac_col(text: Column) -> Column:
+    words = F.filter(
+        F.split(F.lower(text), r"\s+"), lambda w: w != F.lit("")
+    )
+    n = F.size(words)
+    grams = F.filter(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.greatest(n - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda g: g.isNotNull(),
+    )
+    sg = F.array_sort(grams)
+    # single in-row pass over the sorted grams: track current run length,
+    # keep the max — the classic sorted-run-length max, O(n) after sort
+    best = F.aggregate(
+        sg,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    ).cast("double")
+    return F.when(F.size(sg) == 0, F.lit(0.0)).otherwise(best / F.size(sg))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — regex redaction, JVM-side, oracle-replicable
+# ---------------------------------------------------------------------------
+
+# Kept RE2-compatible (no backrefs/lookarounds, explicit char classes, a
+# literal space instead of \s) so the Spark (java.util.regex) and DuckDB
+# (RE2) engines produce identical matches.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def pii_scrub(text: str) -> tuple[str, int, int]:
+    """Pure twin of the Column form: (scrubbed, n_emails, n_phones).
+    Emails are redacted first so digit runs inside addresses never count
+    as phones."""
+    import re
+
+    n_emails = len(re.findall(EMAIL_PATTERN, text))
+    t = re.sub(EMAIL_PATTERN, "<EMAIL>", text)
+    n_phones = len(re.findall(PHONE_PATTERN, t))
+    t = re.sub(PHONE_PATTERN, "<PHONE>", t)
+    return t, n_emails, n_phones
+
+
+def email_count_col(text: Column) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), F.lit(0)))
+
+
+def phone_count_col(text: Column) -> Column:
+    """Counts phones AFTER email redaction (see pii_scrub)."""
+    t = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.size(F.regexp_extract_all(t, F.lit(PHONE_PATTERN), F.lit(0)))
+
+
+def pii_scrub_col(text: Column) -> Column:
+    t = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
+    return F.regexp_replace(t, PHONE_PATTERN, "<PHONE>")

@@ -336,6 +336,61 @@ def dedup_corpus(
     return docs.join(losers, id_col, "left_anti")
 
 
+def dedup_paragraphs(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style corpus-wide paragraph dedup: split each document on
+    newlines, keep only the globally FIRST occurrence of every distinct
+    non-empty paragraph (first = lowest (doc_id, position)), and rebuild
+    each document from its surviving paragraphs in original order.
+
+    Returns (id_col, n_paras, n_kept, clean_text). Documents whose
+    paragraphs were all dropped elsewhere-first still appear with
+    n_kept=0 and clean_text=''.
+
+    Scale design (100 TB): explode → ONE shuffle partitioned on the
+    paragraph text itself (row_number window picks the winner — no
+    self-join, no collect; partitioning by the text, not a 60-bit hash,
+    means a hash collision can never silently merge two distinct
+    paragraphs at 10^11-paragraph scale), then ONE groupBy on doc_id to
+    reassemble. Both keys are high-cardinality and skew-free; a
+    pathological mega-paragraph repeated everywhere still lands as one
+    window partition whose rows are only counted, not materialized
+    per-row downstream."""
+    paras = docs.select(
+        F.col(id_col).alias("_did"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "para"),
+    ).where(F.trim(F.col("para")) != "")
+    w = Window.partitionBy(F.col("para")).orderBy("_did", "pos")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    totals = paras.groupBy("_did").agg(F.count("*").alias("n_paras"))
+    kept = (
+        ranked.where(F.col("rn") == 1)
+        .groupBy("_did")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("para")))
+                    ),
+                    lambda s: s["para"],
+                ),
+            ).alias("clean_text"),
+        )
+    )
+    return (
+        totals.join(kept, "_did", "left")
+        .select(
+            F.col("_did").alias(id_col),
+            F.col("n_paras"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def ngram_jaccard(
     pairs: DataFrame,
     docs: DataFrame,

@@ -444,3 +444,50 @@ def test_ivf_nprobe_recall_monotone(spark):
     # nprobe = n_cells searches everything -> exact recall
     assert got[5] == 1.0
     assert got[2] > got[1]
+
+
+# ---------------------------------------------------------------------------
+# round 5: CCNet-style paragraph dedup
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    import pyspark.sql.functions as F
+    from jcrawler_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\nshared boilerplate\nbeta"),
+            (2, "shared boilerplate\ngamma\ngamma"),
+            (3, "shared boilerplate\n \n"),
+            (4, "delta\ndelta\ndelta"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    # doc 1 is the global first owner of the boilerplate -> keeps all 3
+    assert out[1]["n_paras"] == 3 and out[1]["n_kept"] == 3
+    assert out[1]["clean_text"] == "alpha\nshared boilerplate\nbeta"
+    # doc 2 loses the boilerplate and the in-doc repeat of gamma
+    assert out[2]["n_paras"] == 3 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == "gamma"
+    # doc 3: only the (lost) boilerplate -> present with n_kept 0, empty text
+    assert out[3]["n_paras"] == 1 and out[3]["n_kept"] == 0
+    assert out[3]["clean_text"] == ""
+    # doc 4: in-doc repeats collapse to the first
+    assert out[4]["n_paras"] == 3 and out[4]["n_kept"] == 1
+    assert out[4]["clean_text"] == "delta"
+
+
+def test_dedup_paragraphs_preserves_order_and_totals(spark):
+    from jcrawler_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(10, "z\ny\nx\nw"), (11, "w\nz\nnew one")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert out[10]["clean_text"] == "z\ny\nx\nw"  # original order, not sorted
+    assert out[11]["clean_text"] == "new one"
+    # global invariant: total kept == number of distinct paragraphs
+    assert sum(r["n_kept"] for r in out.values()) == 5

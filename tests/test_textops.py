@@ -81,3 +81,99 @@ def test_column_forms_match_python(spark):
         assert r["lang"] == textops.lang_id(r["text"])
         assert r["ntok"] == textops.token_count(r["text"])
         assert abs(r["q"] - textops.quality_score(r["text"])) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round 5: repetition signals + PII scrub — pure-twin goldens & properties
+# ---------------------------------------------------------------------------
+
+
+def test_dup_line_frac_pure():
+    assert textops.dup_line_frac("a\nb\na") == 1 / 3
+    assert textops.dup_line_frac("a\nb\nc") == 0.0
+    assert textops.dup_line_frac("") == 0.0
+    assert textops.dup_line_frac("\n \n") == 0.0  # only empty lines
+    assert textops.dup_line_frac("x\nx\nx\nx") == 0.75
+
+
+def test_dup_line_char_frac_pure():
+    # 'aa' dup (2+2 chars), 'bbb' unique (3) -> 4/7
+    assert abs(textops.dup_line_char_frac("aa\nbbb\naa") - 4 / 7) < 1e-12
+    assert textops.dup_line_char_frac("x") == 0.0
+    assert textops.dup_line_char_frac("") == 0.0
+
+
+def test_top_bigram_frac_pure():
+    # grams: 'a b','b a','a b' -> top 2/3
+    assert abs(textops.top_bigram_frac("a b a b") - 2 / 3) < 1e-12
+    assert textops.top_bigram_frac("one") == 0.0
+    assert textops.top_bigram_frac("") == 0.0
+    assert textops.top_bigram_frac("A B a b") == textops.top_bigram_frac(
+        "a b a b"
+    )  # lower-cased
+
+
+def test_pii_scrub_pure():
+    t, ne, np_ = textops.pii_scrub(
+        "mail bob.smith+x@corp.example.com or call +40 (721) 555-0042 now"
+    )
+    assert ne == 1 and np_ == 1
+    assert "<EMAIL>" in t and "<PHONE>" in t
+    assert "bob" not in t and "0042" not in t
+
+
+def test_pii_scrub_email_digits_not_phones():
+    # the long digit run lives inside the email -> redacted as EMAIL first
+    t, ne, np_ = textops.pii_scrub("reach 123456789012@digits.example.org ok")
+    assert ne == 1 and np_ == 0
+    assert t == "reach <EMAIL> ok"
+
+
+def test_repetition_cols_match_pure(spark):
+    import pyspark.sql.functions as F
+
+    texts = [
+        "a\nb\na",
+        "aa\nbbb\naa",
+        "",
+        "\n \n",
+        "x\nx\nx\nx",
+        "one two one two three\nsame line\nsame line",
+        "word " * 50,
+        "unique lines\nonly here\nno repeats at all",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    rows = df.select(
+        "i",
+        textops.dup_line_frac_col(F.col("t")).alias("dlf"),
+        textops.dup_line_char_frac_col(F.col("t")).alias("dlcf"),
+        textops.top_bigram_frac_col(F.col("t")).alias("tbf"),
+    ).collect()
+    for r in rows:
+        t = texts[r["i"]]
+        assert abs(r["dlf"] - textops.dup_line_frac(t)) < 1e-9, t
+        assert abs(r["dlcf"] - textops.dup_line_char_frac(t)) < 1e-9, t
+        assert abs(r["tbf"] - textops.top_bigram_frac(t)) < 1e-9, t
+
+
+def test_pii_cols_match_pure(spark):
+    import pyspark.sql.functions as F
+
+    texts = [
+        "mail a@b.io and c.d+e@f-g.example.com, call +1 415 555 2671 x9",
+        "no pii here at all",
+        "digits 123456789012@digits.example.org only",
+        "two phones: 0721 555 0042 and (030) 1234-5678 done",
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    rows = df.select(
+        "i",
+        textops.email_count_col(F.col("t")).alias("ne"),
+        textops.phone_count_col(F.col("t")).alias("np"),
+        textops.pii_scrub_col(F.col("t")).alias("scrub"),
+    ).collect()
+    for r in rows:
+        scrub, ne, np_ = textops.pii_scrub(texts[r["i"]])
+        assert r["ne"] == ne and r["np"] == np_, texts[r["i"]]
+        assert r["scrub"] == scrub, texts[r["i"]]

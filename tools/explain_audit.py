@@ -71,6 +71,28 @@ def main() -> None:
         out.append(f"\nwhole-stage codegen spans: {wsc}\n")
         excerpt = "\n".join(plan.splitlines()[:40])
         out.append("```\n" + excerpt + "\n```\n")
+
+    # round 5: training-data additions. The repetition/PII signal queries
+    # are higher-order-function Column pipelines and must stay MAP-ONLY
+    # (0 Exchanges — they run at scan speed at 100 TB). paragraph_dedup is
+    # allowed exactly its designed shuffles: window on paragraph text,
+    # totals groupBy, kept groupBy (the totals/kept join reuses the
+    # doc_id partitioning).
+    for qname, max_ex in (
+        ("repetition_stats", 0),
+        ("pii_scrub", 0),
+        ("paragraph_dedup", 3),
+    ):
+        plan = plan_of(qs[qname](spark, SF))
+        n_ex = len(re.findall(r"Exchange", plan))
+        summary.append(f"- **{qname}**: exchanges={n_ex} (bound {max_ex})")
+        out.append(
+            f"## {qname} (round 5)\n\nExchange count: {n_ex} "
+            f"(bound {max_ex}).\n\n```\n"
+            + "\n".join(plan.splitlines()[:30])
+            + "\n```\n"
+        )
+        assert n_ex <= max_ex, f"{qname}: {n_ex} Exchanges > bound {max_ex}"
     out.insert(1, "\n".join(summary) + "\n")
 
     # engine fetch join vs a bucketed corpus (the large-wave path): must be
