@@ -1600,6 +1600,137 @@ FROM tot t LEFT JOIN k USING (doc_id)
 """
 
 
+def q_gopher_filter(spark, sf_dir):
+    """Gopher/MassiveWeb quality filter (Rae et al. 2021 Appendix A) —
+    the seven document-level signals plus the composite pass verdict
+    (which also applies the repetition rules). The corpus is augmented
+    deterministically per doc_id so every rule fires on some subset:
+    %13 truncation (word-count floor), %3 stop-word completion, %11
+    symbol spam, %5 ellipsis lines, %16 bullet walls."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    base = F.when(did % 13 == 0, F.substring(F.col("text"), 1, 100)).otherwise(
+        F.col("text")
+    )
+    mt = F.concat(
+        base,
+        F.when(did % 3 == 0, F.lit(" and that have with")).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit(" # # # # # # # # # # # #")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            did % 5 == 0, F.lit("\nread more...\ncontinued...")
+        ).otherwise(F.lit("")),
+        F.when(did % 16 == 0, F.repeat(F.lit("\n• promo item"), 9)).otherwise(
+            F.lit("")
+        ),
+    )
+    s = textops.gopher_stats_cols(mt)
+    return docs.select(
+        did.cast("long").alias("doc_id"),
+        s["word_count"].cast("long").alias("word_count"),
+        F.round(s["mean_word_len"], 4).alias("mean_word_len"),
+        F.round(s["symbol_ratio"], 4).alias("symbol_ratio"),
+        F.round(s["bullet_frac"], 4).alias("bullet_frac"),
+        F.round(s["ellipsis_frac"], 4).alias("ellipsis_frac"),
+        F.round(s["alpha_word_frac"], 4).alias("alpha_word_frac"),
+        s["stop_hits"].cast("long").alias("stop_hits"),
+        textops.gopher_pass_col(mt).alias("passes"),
+    )
+
+
+_GOPHER_SQL = """
+WITH m AS (
+  SELECT doc_id,
+    (CASE WHEN doc_id % 13 = 0 THEN substr(text,1,100) ELSE text END)
+    || (CASE WHEN doc_id % 3 = 0 THEN ' and that have with' ELSE '' END)
+    || (CASE WHEN doc_id % 11 = 0 THEN ' # # # # # # # # # # # #' ELSE '' END)
+    || (CASE WHEN doc_id % 5 = 0
+        THEN chr(10) || 'read more...' || chr(10) || 'continued...'
+        ELSE '' END)
+    || (CASE WHEN doc_id % 16 = 0
+        THEN repeat(chr(10) || '• promo item', 9) ELSE '' END) AS mt
+  FROM documents
+), s AS (
+  SELECT doc_id, mt,
+    list_filter(string_split_regex(mt, '\\s+'), x -> x <> '') AS ws,
+    list_filter(string_split(mt, chr(10)), x -> trim(x) <> '') AS ls
+  FROM m
+), t AS (
+  SELECT doc_id, mt, len(ws) AS nw, len(ls) AS nl,
+    coalesce(list_aggregate(list_transform(ws, w -> length(w)), 'sum') * 1.0
+             / nullif(len(ws), 0), 0.0) AS mwl,
+    (length(mt) - length(replace(mt, '#', '')))
+      + len(regexp_extract_all(mt, '\\.\\.\\.'))
+      + (length(mt) - length(replace(mt, '…', ''))) AS nsym,
+    len(list_filter(ls, l -> ltrim(l, ' ') LIKE '•%'
+                          OR ltrim(l, ' ') LIKE '- %'
+                          OR ltrim(l, ' ') LIKE '* %')) AS nbul,
+    len(list_filter(ls, l -> rtrim(l, ' ') LIKE '%...'
+                          OR rtrim(l, ' ') LIKE '%…')) AS nell,
+    len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS nalpha,
+    len(list_filter(['the','be','to','of','and','that','have','with'],
+        s -> list_contains(list_transform(ws, w -> lower(w)), s))) AS nstop
+  FROM s
+), rl AS (
+  SELECT doc_id, u.s AS line
+  FROM m, unnest(list_filter(string_split(mt, chr(10)),
+                             x -> trim(x) <> '')) u(s)
+), rlc AS (
+  SELECT doc_id, line,
+         count(*) OVER (PARTITION BY doc_id, line) AS cnt
+  FROM rl
+), rstats AS (
+  SELECT doc_id,
+         count(*) AS r_lines,
+         count(DISTINCT line) AS r_distinct,
+         sum(length(line)) AS r_chars,
+         sum(CASE WHEN cnt > 1 THEN length(line) ELSE 0 END) AS r_dupchars
+  FROM rlc GROUP BY doc_id
+), w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(mt), '\\s+'),
+                     x -> x <> '') AS lws
+  FROM m
+), g AS (
+  SELECT doc_id, u.s AS gram
+  FROM w, unnest(
+    CASE WHEN len(lws) < 2 THEN []::VARCHAR[]
+         ELSE list_transform(list_slice(lws, 1, len(lws) - 1),
+                             (x, i) -> x || ' ' || list_extract(lws, i + 1))
+    END) u(s)
+), gc AS (
+  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+), gstats AS (
+  SELECT doc_id, max(c) AS best, sum(c) AS tot FROM gc GROUP BY doc_id
+), f AS (
+  SELECT t.doc_id, nw, nl, mwl, nsym, nbul, nell, nalpha, nstop,
+    coalesce(nsym * 1.0 / nullif(nw, 0), 0.0) AS symr,
+    coalesce(nbul * 1.0 / nullif(nl, 0), 0.0) AS bulf,
+    coalesce(nell * 1.0 / nullif(nl, 0), 0.0) AS ellf,
+    coalesce(nalpha * 1.0 / nullif(nw, 0), 0.0) AS alpf,
+    coalesce((r_lines - r_distinct) * 1.0 / nullif(r_lines, 0), 0.0) AS dlf,
+    coalesce(r_dupchars * 1.0 / nullif(r_chars, 0), 0.0) AS dlcf,
+    coalesce(best * 1.0 / nullif(tot, 0), 0.0) AS tbf
+  FROM t
+  LEFT JOIN rstats USING (doc_id)
+  LEFT JOIN gstats ON t.doc_id = gstats.doc_id
+)
+SELECT doc_id,
+  nw::BIGINT AS word_count,
+  round(mwl, 4) AS mean_word_len,
+  round(symr, 4) AS symbol_ratio,
+  round(bulf, 4) AS bullet_frac,
+  round(ellf, 4) AS ellipsis_frac,
+  round(alpf, 4) AS alpha_word_frac,
+  nstop::BIGINT AS stop_hits,
+  (nw >= 50 AND nw <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+   AND symr < 0.1 AND bulf < 0.9 AND ellf < 0.3 AND alpf > 0.8
+   AND nstop >= 2 AND dlf <= 0.3 AND dlcf <= 0.2 AND tbf <= 0.2) AS passes
+FROM f
+"""
+
+
 def q_normalize_html(spark, sf_dir):
     """JScraper normalize analogue (JScraper.java:101-126) over synthetic
     crawled pages: canonical-form sha256 per url. The oracle pins the exact
@@ -2390,6 +2521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
+        "gopher_filter": q_gopher_filter,
         "normalize_html": q_normalize_html,
         "page_diff": q_page_diff,
         "seed_search": q_seed_search,
@@ -2444,6 +2576,7 @@ def oracle_sql() -> dict[str, str]:
         "repetition_stats": _REPETITION_SQL,
         "pii_scrub": _PII_SQL,
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
+        "gopher_filter": _GOPHER_SQL,
         "normalize_html": _normalize_html_oracle_sql(),
         "page_diff": _page_diff_oracle_sql(),
         "seed_search": _SEED_SEARCH_SQL,

@@ -229,6 +229,7 @@ def main() -> None:
         "paragraph_dedup",
         "repetition_stats",
         "pii_scrub",
+        "gopher_filter",
     )
     for name in op_names:
         fn = entrymod.queries()[name]

@@ -370,3 +370,170 @@ def phone_count_col(text: Column) -> Column:
 def pii_scrub_col(text: Column) -> Column:
     t = F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>")
     return F.regexp_replace(t, PHONE_PATTERN, "<PHONE>")
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style document quality rules (Rae et al. 2021, Appendix A) —
+# map-only, no shuffle
+# ---------------------------------------------------------------------------
+#
+# The published MassiveWeb filter: word-count bounds, mean-word-length
+# bounds, symbol-to-word ratio, bullet-line / ellipsis-line fractions,
+# alphabetic-word fraction, and a required-stop-word floor, combined with
+# the repetition signals above. Every rule is computed inside the row with
+# higher-order functions — at 100 TB the composite runs at scan speed, so
+# quality filtering never becomes the bottleneck of a corpus build.
+#
+# Thresholds are the paper's; `gopher_pass` applies them with the three
+# repetition signals this module implements (dup-line, dup-line-char,
+# top-2-gram — a documented subset of the paper's full n-gram table).
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+GOPHER_RULES = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_ratio": 0.1,
+    "max_bullet_frac": 0.9,
+    "max_ellipsis_frac": 0.3,
+    "min_alpha_word_frac": 0.8,
+    "min_stop_hits": 2,
+    "max_dup_line_frac": 0.3,
+    "max_dup_line_char_frac": 0.2,
+    "max_top_bigram_frac": 0.2,
+}
+
+_BULLET_PREFIXES = ("•", "- ", "* ")
+_ELLIPSIS_SUFFIXES = ("...", "…")
+
+
+def gopher_stats(text: str) -> dict:
+    """Pure twin of the Column forms: the seven document-level Gopher
+    signals. Ratios are 0.0 on empty denominators."""
+    words = [w for w in text.split() if w]
+    nw = len(words)
+    mean_wl = (sum(len(w) for w in words) / nw) if nw else 0.0
+    n_hash = text.count("#")
+    n_ell = len(re.findall(r"\.\.\.", text)) + text.count("…")
+    symbol_ratio = ((n_hash + n_ell) / nw) if nw else 0.0
+    lines = _nonempty_lines(text)
+    nl = len(lines)
+    bullet = sum(1 for l in lines if l.lstrip(" ").startswith(_BULLET_PREFIXES))
+    ellipsis = sum(
+        1 for l in lines if l.rstrip(" ").endswith(_ELLIPSIS_SUFFIXES)
+    )
+    alpha = sum(1 for w in words if re.search(r"[A-Za-z]", w))
+    lw = {w.lower() for w in words}
+    stop_hits = sum(1 for s in GOPHER_STOPWORDS if s in lw)
+    return {
+        "word_count": nw,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": (bullet / nl) if nl else 0.0,
+        "ellipsis_frac": (ellipsis / nl) if nl else 0.0,
+        "alpha_word_frac": (alpha / nw) if nw else 0.0,
+        "stop_hits": stop_hits,
+    }
+
+
+def gopher_pass(text: str) -> bool:
+    """True iff the document clears every Gopher rule (document-level
+    stats + the three repetition signals)."""
+    s = gopher_stats(text)
+    r = GOPHER_RULES
+    return (
+        r["min_words"] <= s["word_count"] <= r["max_words"]
+        and r["min_mean_word_len"] <= s["mean_word_len"] <= r["max_mean_word_len"]
+        and s["symbol_ratio"] < r["max_symbol_ratio"]
+        and s["bullet_frac"] < r["max_bullet_frac"]
+        and s["ellipsis_frac"] < r["max_ellipsis_frac"]
+        and s["alpha_word_frac"] > r["min_alpha_word_frac"]
+        and s["stop_hits"] >= r["min_stop_hits"]
+        and dup_line_frac(text) <= r["max_dup_line_frac"]
+        and dup_line_char_frac(text) <= r["max_dup_line_char_frac"]
+        and top_bigram_frac(text) <= r["max_top_bigram_frac"]
+    )
+
+
+def _words_col(text: Column) -> Column:
+    return F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+
+
+def gopher_stats_cols(text: Column) -> dict[str, Column]:
+    """The seven document-level Gopher signals as named Columns (share one
+    select so Catalyst CSEs the split/filter subtrees)."""
+    words = _words_col(text)
+    nw = F.size(words)
+    nwd = nw.cast("double")
+    total_wl = F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    ).cast("double")
+    mean_wl = F.when(nw == 0, F.lit(0.0)).otherwise(total_wl / nwd)
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, r"#", ""))
+    n_ell = F.size(F.regexp_extract_all(text, F.lit(r"\.\.\."), 0)) + (
+        F.length(text) - F.length(F.regexp_replace(text, "…", ""))
+    )
+    symbol_ratio = F.when(nw == 0, F.lit(0.0)).otherwise(
+        (n_hash + n_ell).cast("double") / nwd
+    )
+    lines = _nonempty_lines_col(text)
+    nl = F.size(lines)
+    nld = nl.cast("double")
+    bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.ltrim(l).startswith("•")
+            | F.ltrim(l).startswith("- ")
+            | F.ltrim(l).startswith("* "),
+        )
+    )
+    ellipsis = F.size(
+        F.filter(
+            lines,
+            lambda l: F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…"),
+        )
+    )
+    alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    lower_words = F.transform(words, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(lower_words, s),
+        )
+    )
+    return {
+        "word_count": nw,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "bullet_frac": F.when(nl == 0, F.lit(0.0)).otherwise(
+            bullet.cast("double") / nld
+        ),
+        "ellipsis_frac": F.when(nl == 0, F.lit(0.0)).otherwise(
+            ellipsis.cast("double") / nld
+        ),
+        "alpha_word_frac": F.when(nw == 0, F.lit(0.0)).otherwise(
+            alpha.cast("double") / nwd
+        ),
+        "stop_hits": stop_hits,
+    }
+
+
+def gopher_pass_col(text: Column) -> Column:
+    s = gopher_stats_cols(text)
+    r = GOPHER_RULES
+    return (
+        (s["word_count"] >= r["min_words"])
+        & (s["word_count"] <= r["max_words"])
+        & (s["mean_word_len"] >= r["min_mean_word_len"])
+        & (s["mean_word_len"] <= r["max_mean_word_len"])
+        & (s["symbol_ratio"] < r["max_symbol_ratio"])
+        & (s["bullet_frac"] < r["max_bullet_frac"])
+        & (s["ellipsis_frac"] < r["max_ellipsis_frac"])
+        & (s["alpha_word_frac"] > r["min_alpha_word_frac"])
+        & (s["stop_hits"] >= r["min_stop_hits"])
+        & (dup_line_frac_col(text) <= r["max_dup_line_frac"])
+        & (dup_line_char_frac_col(text) <= r["max_dup_line_char_frac"])
+        & (top_bigram_frac_col(text) <= r["max_top_bigram_frac"])
+    )

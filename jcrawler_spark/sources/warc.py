@@ -638,6 +638,150 @@ def write_warc_files(
 
 
 # ---------------------------------------------------------------------------
+# WET (extracted-text 'conversion' records) — the Common Crawl
+# *.warc.wet.gz interchange
+# ---------------------------------------------------------------------------
+
+WET_ROWS = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("wet_file", T.StringType(), True),
+        T.StructField("wet_record", T.IntegerType(), True),
+    ]
+)
+
+
+def write_wet_files(
+    df: DataFrame, path: str, *, gzip_per_record: bool = True
+) -> DataFrame:
+    """WET sink: the text-only companion of write_warc_files — one
+    ``part-XXXXX.warc.wet.gz`` per partition of WARC/1.0 ``conversion``
+    records (Content-Type text/plain, UTF-8 payload), the format every
+    Common-Crawl text consumer reads. Takes (url, warc_ts) plus ``text``
+    and/or ``html``: a present non-null ``text`` is written as-is;
+    otherwise ``html`` is converted with ``textops.extract_text`` — the
+    SAME deterministic routine the engine's extract UDF runs, so WET
+    payloads carry the input-contract's byte-identical extracted text.
+    Rows with neither (nothing to convert — failed fetches) are skipped
+    and counted, mirroring the WARC sink's no-fabrication rule. Records
+    stream to disk one gzip member at a time; stats row per file returned
+    (the action that runs the job)."""
+    import os
+
+    from pyspark import TaskContext
+
+    from jcrawler_spark.functions.textops import extract_text
+
+    has_text = "text" in df.columns
+    has_html = "html" in df.columns
+    if not (has_text or has_html):
+        raise ValueError("write_wet_files needs a 'text' or 'html' column")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(
+            path,
+            f"part-{pid:05d}.warc.wet" + (".gz" if gzip_per_record else ""),
+        )
+        n = 0
+        n_skipped = 0
+        with open(fname, "wb") as f:
+            for pdf in it:
+                texts = pdf["text"] if has_text else None
+                htmls = pdf["html"] if has_html else None
+                for i in range(len(pdf)):
+                    url = pdf["url"].iloc[i]
+                    ts = pdf["warc_ts"].iloc[i]
+                    text = texts.iloc[i] if texts is not None else None
+                    if not isinstance(text, str):
+                        raw = htmls.iloc[i] if htmls is not None else None
+                        if raw is None:
+                            n_skipped += 1
+                            continue
+                        text = extract_text(
+                            bytes(raw).decode("utf-8", errors="replace")
+                        )
+                    date = None if pd.isna(ts) else ts.to_pydatetime()
+                    rec = build_record(
+                        "conversion",
+                        "text/plain",
+                        text.encode("utf-8"),
+                        target_uri=url,
+                        date=date,
+                    )
+                    f.write(
+                        gzip.compress(rec, compresslevel=6, mtime=0)
+                        if gzip_per_record
+                        else rec
+                    )
+                    n += 1
+            size = f.tell()
+        if n == 0:
+            os.remove(fname)
+            if n_skipped == 0:
+                return
+            size = 0
+        yield pd.DataFrame(
+            [(fname, n, size, n_skipped)],
+            columns=[x.name for x in WARC_SINK_STATS.fields],
+        )
+
+    os.makedirs(path, exist_ok=True)
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    cols = ["url", F.to_utc_timestamp(F.col("warc_ts"), session_tz).alias("warc_ts")]
+    if has_text:
+        cols.append(F.col("text"))
+    if has_html:
+        cols.append(F.col("html"))
+    return df.select(*cols).mapInPandas(gen, schema=WARC_SINK_STATS)
+
+
+def iter_conversion_rows(path: str, data: bytes) -> Iterator[dict]:
+    """Conversion records of one WET file as (url, warc_ts, text) row
+    dicts; other record types (warcinfo, metadata) skipped."""
+    for i, rec in enumerate(iter_warc_records(data)):
+        if rec["type"] != "conversion":
+            continue
+        yield {
+            "url": rec["uri"],
+            "warc_ts": rec["date"],
+            "text": rec["block"].decode("utf-8", errors="replace"),
+            "wet_file": path,
+            "wet_record": i,
+        }
+
+
+def read_wet(
+    spark: SparkSession, path: str, *, batch_rows: int = 2048
+) -> DataFrame:
+    """Read a directory/glob of .warc.wet / .warc.wet.gz files into
+    WET_ROWS — same one-task-per-file, Arrow-batched shape as read_warc
+    (gzip WARCs are non-splittable; a task holds one decompressed file +
+    one batch)."""
+    from jcrawler_spark.arrowio import emit_batches
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def rows():
+            for pdf in it:
+                for fpath, content in zip(pdf["path"], pdf["content"]):
+                    yield from iter_conversion_rows(fpath, bytes(content))
+
+        return emit_batches(
+            rows(), [f.name for f in WET_ROWS.fields], batch_rows
+        )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.wet*")
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(gen, schema=WET_ROWS)
+
+
+# ---------------------------------------------------------------------------
 # CDX index (cc-index / CDXJ interchange)
 # ---------------------------------------------------------------------------
 

@@ -124,6 +124,15 @@ def build_analyze_parser() -> argparse.ArgumentParser:
                    help="skip MinHash/LSH near-dup clustering")
     p.add_argument("--min-quality", type=float, default=None,
                    help="drop docs with textops.quality_score below this")
+    p.add_argument("--gopher", action="store_true",
+                   help="apply the full Gopher/MassiveWeb rule set "
+                        "(textops.gopher_pass_col: word/line stats + "
+                        "repetition signals, map-only)")
+    p.add_argument("--dedup-paragraphs", action="store_true",
+                   help="CCNet-style corpus-wide paragraph dedup: rewrite "
+                        "each doc keeping only globally-first paragraphs")
+    p.add_argument("--scrub-pii", action="store_true",
+                   help="redact emails/phone numbers in the output text")
     p.add_argument("--lang", default=None,
                    help="comma-separated lang_id whitelist (e.g. en,ro)")
     p.add_argument("--export-pagerank", default=None, metavar="PARQUET",
@@ -188,6 +197,8 @@ def analyze_main(argv: list[str], stop_session: bool = True) -> int:
         docs = docs.where(
             textops.quality_score_col(F.col("_text")) >= args.min_quality
         )
+    if args.gopher:
+        docs = docs.where(textops.gopher_pass_col(F.col("_text")))
     docs = docs.persist()
     counts["after_filters"] = docs.count()
 
@@ -197,6 +208,17 @@ def analyze_main(argv: list[str], stop_session: bool = True) -> int:
         kept = dedup_ops.dedup_corpus(docs, groups, id_col="doc_id")
     else:
         kept = docs
+    if args.dedup_paragraphs:
+        cleaned = dedup_ops.dedup_paragraphs(
+            kept, text_col="_text", id_col="doc_id"
+        ).select("doc_id", F.col("clean_text").alias("_ptext"))
+        kept = kept.drop("_ptext").join(cleaned, "doc_id").select(
+            "url", "url_hash", F.col("_ptext").alias("_text")
+        )
+    if args.scrub_pii:
+        kept = kept.withColumn(
+            "_text", textops.pii_scrub_col(F.col("_text"))
+        )
     out_df = kept.select("url", "url_hash", F.col("_text").alias("text"))
     out_df.write.mode("overwrite").parquet(args.out)
     counts["kept"] = spark.read.parquet(args.out).count()

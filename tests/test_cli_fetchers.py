@@ -657,3 +657,66 @@ def test_cli_analyze_end_to_end(spark, tmp_path, capsys):
         stop_session=False,
     )
     assert rc == 0
+
+
+def test_cli_analyze_gopher_paragraph_pii_flags(spark, tmp_path, capsys):
+    """Round-5 analyze flags: --gopher is a (possibly empty) subset filter;
+    --dedup-paragraphs makes every non-empty line globally unique across
+    the output corpus (the CCNet invariant); --scrub-pii leaves no
+    email/phone match in any output text."""
+    import re as _re
+
+    import main as cli
+    from jcrawler_spark.functions import textops
+
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write_pages(spark, corpus_path, N, H, partitions=4)
+    state = str(tmp_path / "state")
+    rc = cli.main(
+        [
+            corpus.url_of(0, H),
+            *[x for i in range(H) for x in ("--accept", f"host{i}.example")],
+            "--corpus", corpus_path,
+            "--state", state,
+            "--maxDocs", "40",
+            "--maxConnections", "0",
+            "--max-supersteps", "8",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    out1 = str(tmp_path / "clean")
+    rc = cli.main(
+        [
+            "analyze", "--state", state, "--corpus", corpus_path,
+            "--out", out1, "--no-dedup",
+            "--dedup-paragraphs", "--scrub-pii",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    counts1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    texts = [r["text"] for r in spark.read.parquet(out1).collect()]
+    assert counts1["kept"] == len(texts) > 0
+    lines = [l for t in texts for l in t.split("\n") if l.strip()]
+    assert len(lines) == len(set(lines))  # CCNet global-uniqueness invariant
+    for t in texts:
+        assert not _re.search(textops.EMAIL_PATTERN, t)
+        assert not _re.search(textops.PHONE_PATTERN, t)
+
+    out2 = str(tmp_path / "gopher")
+    rc = cli.main(
+        ["analyze", "--state", state, "--corpus", corpus_path,
+         "--out", out2, "--no-dedup", "--gopher"],
+        stop_session=False,
+    )
+    assert rc == 0
+    counts2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert counts2["after_filters"] <= counts2["crawled_docs"]
+    # every survivor really clears the pure-twin rule set
+    kept2 = spark.read.parquet(out2)
+    assert counts2["kept"] == kept2.count()
+    for r in kept2.collect():
+        assert textops.gopher_pass(r["text"])

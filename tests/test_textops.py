@@ -177,3 +177,68 @@ def test_pii_cols_match_pure(spark):
         scrub, ne, np_ = textops.pii_scrub(texts[r["i"]])
         assert r["ne"] == ne and r["np"] == np_, texts[r["i"]]
         assert r["scrub"] == scrub, texts[r["i"]]
+
+
+# ---------------------------------------------------------------------------
+# round 5: Gopher quality rules — pure goldens + Column parity
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_stats_pure():
+    s = textops.gopher_stats("• one\n• two\nthe end is near ...")
+    assert s["bullet_frac"] == 2 / 3
+    assert s["ellipsis_frac"] == 1 / 3
+    assert s["stop_hits"] == 1  # only 'the'
+    assert s["word_count"] == 9
+    # empty text: all-zero, never passes
+    z = textops.gopher_stats("")
+    assert all(v == 0 for v in z.values())
+    assert not textops.gopher_pass("")
+
+
+def test_gopher_pass_pure_rules_fire():
+    good = (
+        "the quick brown fox jumps over that lazy dog and we have fun "
+        "with words of many kinds to be sure today " * 3
+    )
+    assert textops.gopher_pass(good)
+    # word-count floor
+    assert not textops.gopher_pass("the and that have with to be of")
+    # symbol spam
+    assert not textops.gopher_pass(good + " #" * 40)
+    # repetition: one dominating bigram
+    assert not textops.gopher_pass(
+        "the of and that have with to be " + "spam spam " * 120
+    )
+
+
+def test_gopher_cols_match_pure(spark):
+    import pyspark.sql.functions as F
+
+    texts = [
+        "",
+        "the and that have with plenty of words to be here " * 6,
+        "• a\n• b\n• c\nthe end",
+        "dots everywhere ... \nmore dots...\nand the rest…",
+        "# # symbols # the # of # ratio # high #",
+        "x" * 400,
+        "the be to of and that have with " * 10,
+        "short doc",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    cols = textops.gopher_stats_cols(F.col("t"))
+    rows = df.select(
+        "i",
+        *[c.alias(k) for k, c in cols.items()],
+        textops.gopher_pass_col(F.col("t")).alias("p"),
+    ).collect()
+    for r in rows:
+        want = textops.gopher_stats(texts[r["i"]])
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert abs(r[k] - v) < 1e-9, (k, texts[r["i"]])
+            else:
+                assert r[k] == v, (k, texts[r["i"]])
+        assert r["p"] == textops.gopher_pass(texts[r["i"]]), texts[r["i"]]

@@ -496,3 +496,95 @@ def test_zipnum_empty_archive_index(spark, tmp_path):
     assert cdxmod.build_zipnum(spark, arch, idx) == 0
     zn = cdxmod.ZipNumIndex(idx)
     assert zn.lookup("example,a)/x") == []
+
+
+# ---------------------------------------------------------------------------
+# round 5: WET (extracted-text conversion records) sink + source
+# ---------------------------------------------------------------------------
+
+
+def test_wet_sink_roundtrip_from_html(spark, tmp_path):
+    """pages(html) → write_wet_files → read_wet: every record carries the
+    input-contract text — byte-identical to textops.extract_text(html)."""
+    from jcrawler_spark import corpus
+    from jcrawler_spark.functions.textops import extract_text
+
+    pages = corpus.build_pages_df(spark, 40, 4, partitions=4)
+    out = str(tmp_path / "wet")
+    stats = warc.write_wet_files(pages.repartition(2), out).collect()
+    assert sum(r["n_records"] for r in stats) == 40
+    import os
+
+    assert all(
+        f.endswith(".warc.wet.gz") for f in os.listdir(out)
+    )
+
+    back = {r["url"]: r["text"] for r in warc.read_wet(spark, out).collect()}
+    orig = {r["url"]: r for r in pages.select("url", "html").collect()}
+    assert len(back) == 40
+    for url, text in back.items():
+        want = extract_text(bytes(orig[url]["html"]).decode("utf-8"))
+        assert text == want  # byte-identical extracted text per url
+
+
+def test_wet_sink_prefers_text_column_and_skips_empty(spark, tmp_path):
+    rows = [
+        ("https://a.example/1", "already extracted\ntext", b"<p>ignored</p>"),
+        ("https://a.example/2", None, b"<p>from html</p>"),
+        ("https://a.example/3", None, None),  # nothing to convert
+    ]
+    df = spark.createDataFrame(
+        [(u, t, h, None) for u, t, h in rows],
+        "url string, text string, html binary, warc_ts timestamp",
+    ).coalesce(1)
+    out = str(tmp_path / "wet2")
+    stats = warc.write_wet_files(df, out).collect()
+    assert sum(r["n_records"] for r in stats) == 2
+    assert sum(r["n_skipped"] for r in stats) == 1
+    back = {r["url"]: r["text"] for r in warc.read_wet(spark, out).collect()}
+    assert back["https://a.example/1"] == "already extracted\ntext"
+    assert back["https://a.example/2"] == "from html"
+
+
+def test_wet_and_warc_coexist(spark, tmp_path):
+    """read_warc over a dir that also holds WET companions ignores the
+    conversion records (and vice versa): the two exports can share a dir."""
+    from jcrawler_spark import corpus
+
+    pages = corpus.build_pages_df(spark, 10, 2, partitions=2).coalesce(1)
+    out = str(tmp_path / "mixed")
+    warc.write_warc_files(pages, out).collect()
+    warc.write_wet_files(pages, out).collect()
+    assert warc.read_warc(spark, out).count() == 10
+    assert warc.read_wet(spark, out).count() == 10
+
+
+def test_wet_date_is_utc_instant(spark, tmp_path):
+    """The WARC-Date written must be the INSTANT, independent of the
+    session timezone active during the write. The instant is pinned with
+    a tz-aware input (naive datetimes in createDataFrame are interpreted
+    in the driver-local tz, not the session tz — empirically verified):
+    noon America/New_York == 16:00Z."""
+    import datetime as _dt
+    from zoneinfo import ZoneInfo
+
+    noon_ny = _dt.datetime(
+        2024, 6, 1, 12, 0, 0, tzinfo=ZoneInfo("America/New_York")
+    )
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = spark.createDataFrame(
+            [("https://a.example/t", "txt", noon_ny)],
+            "url string, text string, warc_ts timestamp",
+        ).coalesce(1)
+        out = str(tmp_path / "wet3")
+        warc.write_wet_files(df, out).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import glob
+    import gzip as _gz
+
+    raw = _gz.decompress(open(glob.glob(out + "/*")[0], "rb").read())
+    assert b"WARC-Date: 2024-06-01T16:00:00Z" in raw
+    r = warc.read_wet(spark, out).collect()[0]
+    assert r["warc_ts"] == _dt.datetime(2024, 6, 1, 16, 0, 0)

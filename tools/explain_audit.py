@@ -80,6 +80,7 @@ def main() -> None:
     # doc_id partitioning).
     for qname, max_ex in (
         ("repetition_stats", 0),
+        ("gopher_filter", 0),
         ("pii_scrub", 0),
         ("paragraph_dedup", 3),
     ):
