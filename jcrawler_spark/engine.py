@@ -956,11 +956,19 @@ class CrawlEngine:
             # harvest newly discovered Disallow AND Allow rules
             # (robotsTxtExp links, JCrawler.java:362-365) for the host the
             # rule URL points at; Allow feeds RFC 9309 precedence in
-            # gate_robots (collect_set drops the when()'s nulls)
+            # gate_robots (collect_set drops the when()'s nulls).
+            # Same-host provenance (round-5 review fix): a rule only
+            # affects the host it names when it was DISCOVERED on a page
+            # of that same host — otherwise any third-party page
+            # containing "Allow: https://victim/…" text could weaken (or
+            # "Disallow:" could censor) another host's enforcement.
             robot_rules = (
                 links.where(F.col("text").isin("Disallow", "Allow"))
                 .withColumn("host_rule", urlops.host_col(F.col("url")))
-                .where(F.col("host_rule").isNotNull())
+                .where(
+                    F.col("host_rule").isNotNull()
+                    & (F.col("host_rule") == urlops.host_col(F.col("src_url")))
+                )
             )
             rules_leg = (
                 robot_rules.groupBy(F.col("host_rule").alias("host"))
@@ -982,38 +990,6 @@ class CrawlEngine:
                 )
             )
             legs = legs.unionByName(rules_leg)
-        if cfg.enforce_crawl_delay:
-            # harvest robots 'Crawl-delay: <seconds>' pseudo-links emitted by
-            # the opt-in extractor (url 'crawl-delay:<v>', never accepted, so
-            # they exist only for this leg); keyed by the DISCOVERING page's
-            # host (the robots.txt's own host). Max wins (conservative).
-            delay_leg = (
-                links.where(F.col("text") == "Crawl-delay")
-                .withColumn("host_rule", urlops.host_col(F.col("src_url")))
-                .where(F.col("host_rule").isNotNull())
-                .groupBy(F.col("host_rule").alias("host"))
-                .agg(
-                    F.ceil(
-                        F.max(
-                            F.substring_index(F.col("url"), ":", -1)
-                            .cast("double")
-                        ) * 1000
-                    ).cast("int").alias("crawl_delay_ms")
-                )
-                .select(
-                    "host",
-                    F.lit(None).cast("int").alias("last_fetch_superstep"),
-                    F.lit(None).cast("int").alias("last_error_superstep"),
-                    F.lit(None).cast(T.ArrayType(T.StringType())).alias(
-                        "robots_disallow"
-                    ),
-                    F.lit(None).cast(T.ArrayType(T.StringType())).alias(
-                        "robots_allow"
-                    ),
-                    "crawl_delay_ms",
-                )
-            )
-            legs = legs.unionByName(delay_leg)
         next_hs = legs.groupBy("host").agg(
             F.max("last_fetch_superstep").alias("last_fetch_superstep"),
             F.max("last_error_superstep").alias("last_error_superstep"),
@@ -1029,6 +1005,38 @@ class CrawlEngine:
             ).alias("robots_allow"),
             F.max("crawl_delay_ms").alias("crawl_delay_ms"),
         )
+        if cfg.enforce_crawl_delay:
+            # harvest robots 'Crawl-delay: <seconds>' pseudo-links emitted by
+            # the opt-in extractor (url 'crawl-delay:<v>', never accepted, so
+            # they exist only for this leg); keyed by the DISCOVERING page's
+            # host (the robots.txt's own host — same-host by construction).
+            # Last observation wins (round-5 review fix): joined AFTER the
+            # carry-forward aggregate so a host republishing a SMALLER
+            # Crawl-delay takes effect — the previous max() ratchet made the
+            # delay monotonically non-decreasing forever. Within one
+            # superstep, max() of this wave's observations is conservative.
+            delay_leg = (
+                links.where(F.col("text") == "Crawl-delay")
+                .withColumn("host_rule", urlops.host_col(F.col("src_url")))
+                .where(F.col("host_rule").isNotNull())
+                .groupBy(F.col("host_rule").alias("host"))
+                .agg(
+                    F.ceil(
+                        F.max(
+                            F.substring_index(F.col("url"), ":", -1)
+                            .cast("double")
+                        ) * 1000
+                    ).cast("int").alias("crawl_delay_new")
+                )
+            )
+            next_hs = (
+                next_hs.join(delay_leg, "host", "left")
+                .withColumn(
+                    "crawl_delay_ms",
+                    F.coalesce("crawl_delay_new", "crawl_delay_ms"),
+                )
+                .drop("crawl_delay_new")
+            )
 
         # ---- update seen-prefilter with this wave's hashes (distributed) ----
         if cfg.bloom_enabled and self._bloom is not None:

@@ -229,3 +229,63 @@ def test_robots_allow_overrides_disallow(spark, tmp_path):
     assert got[f"{H0}/private/secret"] == (True, None)
     # Allow: /vault is LESS specific than Disallow: /vault/deep/ → blocked
     assert got[f"{H0}/vault/deep/x"] == (True, None)
+
+
+def test_robots_rules_require_same_host_provenance(spark, tmp_path):
+    """Round-5 review fix: a Disallow/Allow rule only affects the host it
+    names when it was discovered on a page OF that host. A third-party
+    page quoting 'Allow: https://victim/...' must not weaken the
+    victim's own Disallow, and a third-party 'Disallow:' must not censor
+    the victim's URLs."""
+    V, M = "https://victim.example", "https://mallory.example"
+    rows = [
+        # the victim's own (same-host) directives: block /private/
+        _page(f"{V}/", "<pre>Disallow: /private/\n</pre>",
+              [f"{V}/hub"]),
+        _page(f"{V}/hub", "links",
+              [f"{V}/private/x", f"{V}/open"]),
+        _page(f"{V}/private/x", "blocked by victim's own rule"),
+        _page(f"{V}/open", "plain"),
+        # mallory tries to carve out the victim's private tree AND to
+        # censor the victim's open page — both must be ignored
+        _page(f"{M}/",
+              f"<pre>Allow: {V}/private/x\nDisallow: {V}/open\n</pre>"),
+    ]
+    eng, _ = _custom_run(
+        spark, tmp_path, "provenance", rows,
+        [f"{V}/", f"{M}/"], [V, M],
+        enforce_robots=True,
+    )
+    got = {
+        r["url"]: (r["skipped"], r["status"])
+        for r in eng.store.read("pages").collect()
+    }
+    # victim's own Disallow still enforced (mallory's Allow ignored)
+    assert got[f"{V}/private/x"] == (True, None)
+    # victim's open page still fetched (mallory's Disallow ignored)
+    assert got[f"{V}/open"] == (False, 200)
+    # mallory's rules never land in the victim's host_state
+    hs = {r["host"]: r for r in eng.store.read("host_state").collect()}
+    v_allow = hs["victim.example"]["robots_allow"] or []
+    assert not any("private" in a for a in v_allow)
+
+
+def test_crawl_delay_last_observation_wins(spark, tmp_path):
+    """Round-5 review fix: host_state.crawl_delay_ms follows the LATEST
+    robots observation instead of ratcheting with max() — a host that
+    lowers its Crawl-delay gets the smaller value."""
+    A = "https://relax.example"
+    rows = [
+        _page(f"{A}/", "<pre>Crawl-delay: 5\n</pre>", [f"{A}/mid"]),
+        # a later (deeper) page republishes a smaller delay
+        _page(f"{A}/mid", "<pre>Crawl-delay: 1\n</pre>", [f"{A}/leaf"]),
+        _page(f"{A}/leaf", "done"),
+    ]
+    eng, _ = _custom_run(
+        spark, tmp_path, "lastobs", rows, [f"{A}/"], [A],
+        enforce_crawl_delay=True, crawl_delay_seconds=1,
+        seconds_per_superstep=1, per_host_budget=1,
+    )
+    hs = {r["host"]: r for r in eng.store.read("host_state").collect()}
+    # the final observation (1s) replaced the initial 5s ratchet
+    assert hs["relax.example"]["crawl_delay_ms"] == 1000
