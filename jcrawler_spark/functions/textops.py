@@ -62,6 +62,16 @@ def extract_text(html_str: str) -> str:
 _TOKEN_RE = r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"
 _TOKEN_C = re.compile(_TOKEN_RE)
 
+# Java-regex \s is ASCII-only ([ \t\n\x0B\f\r]) and Spark's F.trim strips
+# SPACES only — the pure twins below mirror those semantics exactly
+# (round-5 review fix: Python's str.split()/str.strip() are Unicode-wide,
+# so a tab-only line or an NBSP-joined pair diverged between the pure and
+# Column forms near GOPHER_RULES thresholds).
+_JAVA_WS = re.compile(r"[ \t\n\x0b\f\r]+")
+# the Column quality form counts letters via this exact class (ASCII +
+# Romanian diacritics), not Python's Unicode-wide isalpha()
+_ALPHA_CLASS = re.compile(r"[A-Za-zăâîșțĂÂÎȘȚ]")
+
 
 def tokenize(text: str) -> list[str]:
     return _TOKEN_C.findall(text)
@@ -72,7 +82,9 @@ def token_count(text: str) -> int:
 
 
 def whitespace_token_count(text: str) -> int:
-    return len(text.split())
+    # exact mirror of the Column form: space-trim, then Java-\s split —
+    # leading/trailing NON-space whitespace yields empty tokens in both
+    return len(_JAVA_WS.split(text.strip(" ")))
 
 
 def token_count_col(text: Column) -> Column:
@@ -100,7 +112,7 @@ def _marker_hits(words: list[str], markers: tuple[str, ...]) -> int:
 def lang_id(text: str) -> str:
     """'en' if English marker-word hits >= Romanian hits else 'ro';
     'und' when no marker at all."""
-    words = text.lower().split()
+    words = _JAVA_WS.split(text.lower())
     en = _marker_hits(words, EN_MARKERS)
     ro = _marker_hits(words, RO_MARKERS)
     if en == 0 and ro == 0:
@@ -139,9 +151,9 @@ def quality_score(text: str) -> float:
     if n == 0:
         return 0.0
     length_ok = min(n / 500.0, 1.0)
-    alpha = sum(1 for c in text if c.isalpha())
+    alpha = len(_ALPHA_CLASS.findall(text))
     alpha_ratio = alpha / n
-    words = text.lower().split()
+    words = _JAVA_WS.split(text.lower())
     nw = len(words)
     if nw == 0:
         stop_ratio = 0.0
@@ -213,7 +225,9 @@ def doc_fingerprint(text: str, k: int = 8) -> int:
 
 
 def _nonempty_lines(text: str) -> list[str]:
-    return [l for l in text.split("\n") if l.strip() != ""]
+    # strip(" ") mirrors F.trim (spaces only): a tab-only line is
+    # NON-empty in both forms
+    return [l for l in text.split("\n") if l.strip(" ") != ""]
 
 
 def dup_line_frac(text: str) -> float:
@@ -242,7 +256,7 @@ def dup_line_char_frac(text: str) -> float:
 def top_bigram_frac(text: str) -> float:
     """Occurrences of the most frequent word 2-gram / total 2-grams
     (lower-cased, whitespace tokens). 0.0 when fewer than 2 words."""
-    words = [w for w in text.lower().split() if w]
+    words = [w for w in _JAVA_WS.split(text.lower()) if w]
     grams = [words[i] + " " + words[i + 1] for i in range(len(words) - 1)]
     if not grams:
         return 0.0
@@ -412,7 +426,7 @@ _ELLIPSIS_SUFFIXES = ("...", "…")
 def gopher_stats(text: str) -> dict:
     """Pure twin of the Column forms: the seven document-level Gopher
     signals. Ratios are 0.0 on empty denominators."""
-    words = [w for w in text.split() if w]
+    words = [w for w in _JAVA_WS.split(text) if w]
     nw = len(words)
     mean_wl = (sum(len(w) for w in words) / nw) if nw else 0.0
     n_hash = text.count("#")

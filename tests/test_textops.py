@@ -242,3 +242,51 @@ def test_gopher_cols_match_pure(spark):
             else:
                 assert r[k] == v, (k, texts[r["i"]])
         assert r["p"] == textops.gopher_pass(texts[r["i"]]), texts[r["i"]]
+
+
+def test_whitespace_parity_adversarial(spark):
+    """Round-5 review fix: the pure twins must mirror the Column forms on
+    NON-space whitespace — Java \\s is ASCII-only and F.trim strips spaces
+    only, while Python's str.split()/strip() are Unicode-wide. Tab-only
+    lines, NBSP-joined words, vertical tabs and CRLF all hit the gap."""
+    import pyspark.sql.functions as F
+
+    texts = [
+        "a b c\n\t\na b c",          # tab-only line (the verified repro)
+        "x\xa0y x\xa0y z",           # NBSP-joined words
+        "\tthe cat\x0bsat \r\non the mat\t",
+        "the cat the cat", # thin space (Unicode-only ws)
+        " \t \n\xa0\n",
+        "• one\n\t\n• two\nthe end is near ...",
+        "the and that have with plenty\xa0of words to be here " * 4,
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    g = textops.gopher_stats_cols(F.col("t"))
+    rows = df.select(
+        "i",
+        textops.dup_line_frac_col(F.col("t")).alias("dlf"),
+        textops.dup_line_char_frac_col(F.col("t")).alias("dlcf"),
+        textops.top_bigram_frac_col(F.col("t")).alias("tbf"),
+        textops.lang_id_col(F.col("t")).alias("lang"),
+        textops.quality_score_col(F.col("t")).alias("q"),
+        textops.whitespace_token_count_col(F.col("t")).alias("wtc"),
+        textops.gopher_pass_col(F.col("t")).alias("gp"),
+        *[c.alias(f"g_{k}") for k, c in g.items()],
+    ).collect()
+    for r in rows:
+        t = texts[r["i"]]
+        assert abs(r["dlf"] - textops.dup_line_frac(t)) < 1e-9, repr(t)
+        assert abs(r["dlcf"] - textops.dup_line_char_frac(t)) < 1e-9, repr(t)
+        assert abs(r["tbf"] - textops.top_bigram_frac(t)) < 1e-9, repr(t)
+        assert r["lang"] == textops.lang_id(t), repr(t)
+        assert abs(r["q"] - textops.quality_score(t)) < 1e-9, repr(t)
+        assert r["wtc"] == textops.whitespace_token_count(t), repr(t)
+        assert r["gp"] == textops.gopher_pass(t), repr(t)
+        want = textops.gopher_stats(t)
+        for k, v in want.items():
+            if isinstance(v, float):
+                assert abs(r[f"g_{k}"] - v) < 1e-9, (k, repr(t))
+            else:
+                assert r[f"g_{k}"] == v, (k, repr(t))
