@@ -1586,7 +1586,13 @@ WITH m AS (
          row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
   FROM p
 ), tot AS (
-  SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id
+  -- from ALL docs (not the filtered paragraphs) so a document with no
+  -- non-empty paragraphs still appears with n_paras=0 — lockstep with
+  -- dedup_paragraphs' docs-frame totals (round-5 review fix)
+  SELECT doc_id,
+         len(list_filter(string_split(mt, chr(10)),
+                         x -> trim(x) <> '')) AS n_paras
+  FROM m
 ), k AS (
   SELECT doc_id, count(*) AS n_kept,
          string_agg(para, chr(10) ORDER BY pos) AS clean_text

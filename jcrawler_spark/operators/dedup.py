@@ -363,7 +363,19 @@ def dedup_paragraphs(
     ).where(F.trim(F.col("para")) != "")
     w = Window.partitionBy(F.col("para")).orderBy("_did", "pos")
     ranked = paras.withColumn("rn", F.row_number().over(w))
-    totals = paras.groupBy("_did").agg(F.count("*").alias("n_paras"))
+    # n_paras comes from the DOCS frame, map-side (round-5 review fix):
+    # deriving it from the exploded/filtered paras silently dropped
+    # documents with no non-empty paragraphs from the output entirely —
+    # and cost an extra groupBy shuffle to boot
+    totals = docs.select(
+        F.col(id_col).alias("_did"),
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), "\n"),
+                lambda p: F.trim(p) != F.lit(""),
+            )
+        ).cast("long").alias("n_paras"),
+    )
     kept = (
         ranked.where(F.col("rn") == 1)
         .groupBy("_did")

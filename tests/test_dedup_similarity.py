@@ -479,6 +479,25 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
     assert out[4]["clean_text"] == "delta"
 
 
+def test_dedup_paragraphs_keeps_empty_docs(spark):
+    """Round-5 review fix: a document with NO non-empty paragraphs (empty
+    text, whitespace-only lines) must still appear in the output with
+    n_paras=0 — deriving totals from the exploded paragraphs silently
+    dropped it, and analyze's downstream inner join lost the doc."""
+    from jcrawler_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, "real text"), (2, ""), (3, "\n \n"), (4, "  ")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert set(out) == {1, 2, 3, 4}, "no document may vanish"
+    assert out[1]["n_paras"] == 1 and out[1]["n_kept"] == 1
+    for d in (2, 3, 4):
+        assert out[d]["n_paras"] == 0 and out[d]["n_kept"] == 0
+        assert out[d]["clean_text"] == ""
+
+
 def test_dedup_paragraphs_preserves_order_and_totals(spark):
     from jcrawler_spark.operators.dedup import dedup_paragraphs
 
