@@ -249,9 +249,14 @@ def connected_components(
     large-star/small-star alternation bounds rounds by O(log² n); the
     propagation loop here is the simpler standard choice because banded
     LSH output cannot produce long chains without intermediate hubs."""
+    # id-type-generic (round-5 review fix): min-label propagation only
+    # needs an orderable id, so string ids (e.g. the url itself — immune
+    # to 64-bit-hash birthday collisions at 10^10 docs) work unchanged;
+    # the old cast("long") nulled them out
+    id_type = pairs.schema["id_a"].dataType
     edges = pairs.select(
-        F.col("id_a").cast("long").alias("src"),
-        F.col("id_b").cast("long").alias("dst"),
+        F.col("id_a").alias("src"),
+        F.col("id_b").cast(id_type).alias("dst"),
     )
     edges = (
         edges.unionByName(
@@ -270,7 +275,7 @@ def connected_components(
         prop = edges.join(labels, edges["src"] == labels["id"]).select(
             F.col("dst").alias("id"),
             "comp",
-            F.lit(None).cast("long").alias("old"),
+            F.lit(None).cast(id_type).alias("old"),
         )
         # the node's previous label rides the union as `old` (prop rows
         # carry NULL — min() ignores them, and every id has a labels-leg

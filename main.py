@@ -186,7 +186,13 @@ def analyze_main(argv: list[str], stop_session: bool = True) -> int:
     docs = (
         crawled.join(bodies.select("url", text_expr.alias("_text")), "url")
         .where(F.col("_text").isNotNull())
-        .withColumn("doc_id", F.xxhash64("url"))
+        # the url IS the doc id (round-5 review fix): a 64-bit url hash
+        # has expected birthday collisions at the 10^10-doc design scale,
+        # silently merging two unrelated documents through the dedup
+        # joins — the same failure dedup_paragraphs' design notes reject
+        # for paragraph keys. String group keys cost a wider shuffle and
+        # buy exactness.
+        .withColumn("doc_id", F.col("url"))
     )
     counts = {"crawled_docs": docs.count()}
 

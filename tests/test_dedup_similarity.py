@@ -510,3 +510,39 @@ def test_dedup_paragraphs_preserves_order_and_totals(spark):
     assert out[11]["clean_text"] == "new one"
     # global invariant: total kept == number of distinct paragraphs
     assert sum(r["n_kept"] for r in out.values()) == 5
+
+
+def test_duplicate_groups_string_ids(spark):
+    """Round-5 review fix: the dedup pipeline accepts STRING doc ids (the
+    analyze CLI now uses the url itself — immune to 64-bit-hash birthday
+    collisions at 10^10 docs). connected_components must not null them
+    out via a long cast; group_id is the lexicographic min member."""
+    from jcrawler_spark.operators import dedup as d
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    docs = spark.createDataFrame(
+        [
+            ("https://a.example/1", base),
+            ("https://b.example/2", base + "tail"),
+            ("https://c.example/3", "completely different text here " * 8),
+        ],
+        "doc_id string, text string",
+    )
+    groups = d.duplicate_groups(docs, threshold=0.2)
+    rows = {r["doc_id"]: r for r in groups.collect()}
+    assert set(rows) == {"https://a.example/1", "https://b.example/2"}
+    assert all(r["group_id"] == "https://a.example/1" for r in rows.values())
+    assert rows["https://a.example/1"]["is_keeper"]
+    assert not rows["https://b.example/2"]["is_keeper"]
+    kept = d.dedup_corpus(docs, groups).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in kept) == [
+        "https://a.example/1", "https://c.example/3",
+    ]
+    # components directly on string pairs
+    comps = d.connected_components(
+        spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("x", "y")], "id_a string, id_b string"
+        )
+    )
+    got = {r["id"]: r["comp"] for r in comps.collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
