@@ -128,41 +128,80 @@ def _prefix_match(url: Column, accept_set: list[str]) -> Column:
     return conds[0]
 
 
+def _prefix_classes(
+    accept_set: list[str],
+) -> list[tuple[int, dict[str, list[str]]]]:
+    """Split the accept set into power-of-two LENGTH classes, each keyed at
+    its own class-minimum prefix length. A single global klen = min(len)
+    let one short generic prefix (e.g. 'https://', len 8) collapse 100k
+    host prefixes into ONE key whose candidate array was the whole set —
+    restoring the O(|accept_set|)-per-row scan the join exists to avoid
+    (round-5 review fix). With classes, the len-8 prefix keys alone at 8
+    while the host prefixes key at ≥16 chars, which includes the host and
+    discriminates. Returns [(klen, {key: [prefixes...]}), ...] — at most
+    ~7 classes for URL-shaped prefixes."""
+    by_class: dict[int, list[str]] = {}
+    for p in accept_set:
+        c = 1
+        while c * 2 <= len(p):
+            c *= 2
+        by_class.setdefault(c, []).append(p)
+    out = []
+    for c in sorted(by_class):
+        plist = by_class[c]
+        klen = min(len(p) for p in plist)
+        by_key: dict[str, list[str]] = {}
+        for p in plist:
+            by_key.setdefault(p[:klen], []).append(p)
+        out.append((klen, by_key))
+    return out
+
+
 def prefix_match_df(
     df: DataFrame, accept_set: list[str], url: str, out_col: str
 ) -> DataFrame:
     """Adds boolean `out_col` = ∃ prefix ∈ accept_set: url startswith prefix,
-    via an exact broadcast join — the scale path for large accept sets.
+    via exact broadcast joins — the scale path for large accept sets.
 
-    Key = the first klen characters (klen = shortest prefix length): any
-    (url, prefix) startswith pair necessarily agrees on that slice, so a
-    hash-equality join on it loses no matches; the few same-key candidates
-    are then verified with the full startswith. The prefix table is keyed
-    UNIQUELY (one row per key, candidates collected into an array), so the
-    left join preserves the row count exactly. Per row: one O(1) hash probe
-    + O(candidates-per-key) startswith — independent of |accept_set|, plan
-    size constant, no shuffle (broadcast)."""
+    One join per power-of-two length class (see `_prefix_classes`); within
+    a class the key is the first klen characters (klen = the class's
+    shortest prefix): any (url, prefix) startswith pair necessarily agrees
+    on that slice, so a hash-equality join on it loses no matches; the few
+    same-key candidates are then verified with the full startswith. Each
+    prefix table is keyed UNIQUELY (one row per key, candidates collected
+    into an array), so every left join preserves the row count exactly.
+    Per row: ≤7 O(1) hash probes + O(candidates-per-key) startswith —
+    independent of |accept_set|, plan size constant, no shuffle
+    (broadcast)."""
     if not accept_set:
         return df.withColumn(out_col, F.lit(False))
     if "" in accept_set:  # empty prefix matches every URL
         return df.withColumn(out_col, F.lit(True))
-    klen = min(len(p) for p in accept_set)
-    by_key: dict[str, list[str]] = {}
-    for p in accept_set:
-        by_key.setdefault(p[:klen], []).append(p)
-    pref = df.sparkSession.createDataFrame(
-        list(by_key.items()), "_pfx_k string, _pfx_list array<string>"
+    joined = df
+    hits = []
+    for i, (klen, by_key) in enumerate(_prefix_classes(accept_set)):
+        kcol, lcol = f"_pfx_k{i}", f"_pfx_list{i}"
+        pref = df.sparkSession.createDataFrame(
+            list(by_key.items()), f"{kcol} string, {lcol} array<string>"
+        )
+        joined = joined.join(
+            F.broadcast(pref),
+            F.substring(F.col(url), 1, klen) == F.col(kcol),
+            "left",
+        )
+        hits.append(
+            F.coalesce(
+                F.exists(F.col(lcol), lambda p: F.col(url).startswith(p)),
+                F.lit(False),
+            )
+        )
+        joined = joined.drop(kcol)
+    hit = hits[0]
+    for h in hits[1:]:
+        hit = hit | h
+    return joined.withColumn(out_col, hit).drop(
+        *[f"_pfx_list{i}" for i in range(len(hits))]
     )
-    joined = df.join(
-        F.broadcast(pref),
-        F.substring(F.col(url), 1, klen) == F.col("_pfx_k"),
-        "left",
-    )
-    hit = F.coalesce(
-        F.exists(F.col("_pfx_list"), lambda p: F.col(url).startswith(p)),
-        F.lit(False),
-    )
-    return joined.withColumn(out_col, hit).drop("_pfx_k", "_pfx_list")
 
 
 def accept_col(

@@ -164,3 +164,56 @@ def test_join_path_equals_expression_oracle(spark):
     for u, d, res, red in rows:
         want = accept.accept_link(u, d, res, red, prefixes, max_depth=2)
         assert got[u] == want, (u, got[u], want)
+
+
+def test_prefix_classes_short_generic_prefix_no_collapse():
+    """Round-5 review fix: a short generic prefix ('https://') must not
+    drag the join key down to 8 chars for 10k host prefixes — that made
+    ONE key whose candidate array was the entire set. Length classes key
+    each group at its own minimum length."""
+    s = ["https://"] + [f"https://host{i:05d}.example/" for i in range(10_000)]
+    classes = accept._prefix_classes(s)
+    # the generic prefix sits alone in its class, keyed at 8
+    flat = {klen: by_key for klen, by_key in classes}
+    assert 8 in flat and list(flat[8].values()) == [["https://"]]
+    # every other class keys PAST 'https://' and discriminates by host:
+    # no candidate bucket degenerates to a meaningful fraction of the set
+    for klen, by_key in classes:
+        if klen == 8:
+            continue
+        assert klen > len("https://")
+        assert max(len(v) for v in by_key.values()) <= 16
+
+
+def test_prefix_join_degenerate_sets_still_correct(spark):
+    """Equivalence on the two degenerate shapes from the review: a short
+    generic prefix mixed into a large host set, and a set sharing a long
+    common leading string."""
+    from jcrawler_spark.operators.accept import prefix_match_df
+
+    shared = "https://www.example.com/very/long/shared/prefix/"
+    cases = [
+        ["http://"] + [f"https://h{i}.example" for i in range(300)],
+        [f"{shared}{i:04d}" for i in range(300)],
+        [f"{shared}{i:04d}" for i in range(300)] + [shared[:12]],
+    ]
+    urls = [
+        "http://anything.at.all/x",
+        "https://h42.example/page",
+        "https://h301.example/page",
+        f"{shared}0042/tail",
+        f"{shared}9999",
+        "https://www.example.com/other",
+        "https://w",
+        "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    for aset in cases:
+        got = {
+            r["url"]: r["hit"]
+            for r in prefix_match_df(df, aset, "url", "hit").collect()
+        }
+        want = {u: any(u.startswith(p) for p in aset) for u in urls}
+        assert got == want, aset[:2]
+        # row count preserved exactly (unique-keyed left joins)
+        assert prefix_match_df(df, aset, "url", "hit").count() == len(urls)
