@@ -842,6 +842,9 @@ class CrawlEngine:
                     F.col("src_order_key"), npart, self.order_counter
                 ),
             ).persist()
+            # normally None here (end-of-step always clears it); non-None
+            # only when a prior step() died mid-flight — free that
+            # orphaned cache before pinning this superstep's
             if self._rank_cache is not None:
                 self._rank_cache.unpersist()
             self._rank_cache = cand
@@ -893,6 +896,12 @@ class CrawlEngine:
                     cand, sort_cols, offsets, npart
                 )
                 new_rows = self._rank_select(ranked, s)
+            else:
+                # nothing discovered: rank_from_offsets is skipped, so the
+                # persisted cand has no consumer — free it now instead of
+                # holding block-manager memory until end-of-step
+                self._rank_cache.unpersist()
+                self._rank_cache = None
         else:
             new_rows, new_n = self._rank_new(cand, s)
             if new_n == 0:
