@@ -1606,6 +1606,43 @@ FROM tot t LEFT JOIN k USING (doc_id)
 """
 
 
+_SAMPLE_RATES = {"src0": 0.0, "src1": 0.2, "src2": 0.5, "src3": 0.8}
+_SAMPLE_SALT = "s1"
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified downsampling (operators/sampling.py):
+    keep a row iff its md5-derived uniform < the source-stratum's rate.
+    Map-only (broadcast rate table + Column decision); md5 is
+    bit-identical in DuckDB so the oracle re-derives the exact sample."""
+    from jcrawler_spark.operators import sampling
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "_sid", F.col("doc_id").cast("string")
+    )
+    kept = sampling.stratified_sample(
+        docs, _SAMPLE_RATES, "source", id_col="_sid",
+        default_rate=1.0, salt=_SAMPLE_SALT,
+    )
+    return kept.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").alias("source"),
+    )
+
+
+_STRATIFIED_SAMPLE_SQL = f"""
+SELECT doc_id, source FROM documents
+WHERE ('0x' || substr(md5(doc_id::VARCHAR || '{_SAMPLE_SALT}'), 1, 15))::BIGINT
+      / 1152921504606846976.0
+    < CASE source
+        WHEN 'src0' THEN 0.0
+        WHEN 'src1' THEN 0.2
+        WHEN 'src2' THEN 0.5
+        WHEN 'src3' THEN 0.8
+        ELSE 1.0 END
+"""
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher/MassiveWeb quality filter (Rae et al. 2021 Appendix A) —
     the seven document-level signals plus the composite pass verdict
@@ -2528,6 +2565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
         "gopher_filter": q_gopher_filter,
+        "stratified_sample": q_stratified_sample,
         "normalize_html": q_normalize_html,
         "page_diff": q_page_diff,
         "seed_search": q_seed_search,
@@ -2583,6 +2621,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SQL,
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "gopher_filter": _GOPHER_SQL,
+        "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "normalize_html": _normalize_html_oracle_sql(),
         "page_diff": _page_diff_oracle_sql(),
         "seed_search": _SEED_SEARCH_SQL,

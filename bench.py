@@ -230,6 +230,7 @@ def main() -> None:
         "repetition_stats",
         "pii_scrub",
         "gopher_filter",
+        "stratified_sample",
     )
     for name in op_names:
         fn = entrymod.queries()[name]
