@@ -135,6 +135,14 @@ def build_analyze_parser() -> argparse.ArgumentParser:
                    help="redact emails/phone numbers in the output text")
     p.add_argument("--lang", default=None,
                    help="comma-separated lang_id whitelist (e.g. en,ro)")
+    p.add_argument("--cap-per-lang", type=int, default=None, metavar="N",
+                   help="deterministically downsample so no detected "
+                        "language expects more than N docs "
+                        "(operators/sampling.py: md5-uniform vs "
+                        "min(1, N/count) per-stratum rates, map-only)")
+    p.add_argument("--sample-rate", type=float, default=None, metavar="R",
+                   help="deterministic uniform keep-rate in (0,1]; "
+                        "composes multiplicatively with --cap-per-lang")
     p.add_argument("--export-pagerank", default=None, metavar="PARQUET",
                    help="write (url_hash, score) PageRank over the memoized "
                         "link graph — feed it back via --priority-scores")
@@ -225,6 +233,21 @@ def analyze_main(argv: list[str], stop_session: bool = True) -> int:
         kept = kept.withColumn(
             "_text", textops.pii_scrub_col(F.col("_text"))
         )
+    if args.cap_per_lang is not None or args.sample_rate is not None:
+        from jcrawler_spark.operators import sampling
+
+        base_rate = args.sample_rate if args.sample_rate is not None else 1.0
+        kept = kept.withColumn("_lang", textops.lang_id_col(F.col("_text")))
+        rates = (
+            sampling.rates_for_cap(kept, "_lang", args.cap_per_lang)
+            if args.cap_per_lang is not None
+            else {}
+        )
+        # --sample-rate composes multiplicatively with the per-lang cap
+        rates = {k: v * base_rate for k, v in rates.items()}
+        kept = sampling.stratified_sample(
+            kept, rates, "_lang", id_col="url", default_rate=base_rate
+        ).drop("_lang")
     out_df = kept.select("url", "url_hash", F.col("_text").alias("text"))
     out_df.write.mode("overwrite").parquet(args.out)
     counts["kept"] = spark.read.parquet(args.out).count()

@@ -720,3 +720,65 @@ def test_cli_analyze_gopher_paragraph_pii_flags(spark, tmp_path, capsys):
     assert counts2["kept"] == kept2.count()
     for r in kept2.collect():
         assert textops.gopher_pass(r["text"])
+
+
+def test_cli_analyze_sampling_flags(spark, tmp_path, capsys):
+    """--sample-rate deterministically downsamples (same command twice ->
+    identical output set); --cap-per-lang bounds the expected per-language
+    count; both leave only rows that existed in the unsampled output."""
+    import main as cli
+
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write_pages(spark, corpus_path, N, H, partitions=4)
+    state = str(tmp_path / "state")
+    rc = cli.main(
+        [
+            corpus.url_of(0, H),
+            *[x for i in range(H) for x in ("--accept", f"host{i}.example")],
+            "--corpus", corpus_path,
+            "--state", state,
+            "--maxDocs", "40",
+            "--maxConnections", "0",
+            "--max-supersteps", "8",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    full = str(tmp_path / "full")
+    rc = cli.main(
+        ["analyze", "--state", state, "--corpus", corpus_path,
+         "--out", full, "--no-dedup"],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    full_urls = {r["url"] for r in spark.read.parquet(full).collect()}
+
+    outs = []
+    for name in ("s1", "s2"):
+        out = str(tmp_path / name)
+        rc = cli.main(
+            ["analyze", "--state", state, "--corpus", corpus_path,
+             "--out", out, "--no-dedup", "--sample-rate", "0.5"],
+            stop_session=False,
+        )
+        assert rc == 0
+        capsys.readouterr()
+        outs.append({r["url"] for r in spark.read.parquet(out).collect()})
+    assert outs[0] == outs[1], "sampling must be rerun-deterministic"
+    assert outs[0] < full_urls  # strict subset at rate 0.5
+    assert len(outs[0]) > 0
+
+    capped = str(tmp_path / "capped")
+    rc = cli.main(
+        ["analyze", "--state", state, "--corpus", corpus_path,
+         "--out", capped, "--no-dedup", "--cap-per-lang", "5"],
+        stop_session=False,
+    )
+    assert rc == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    kept = spark.read.parquet(capped)
+    assert counts["kept"] == kept.count() > 0
+    assert {r["url"] for r in kept.collect()} <= full_urls
