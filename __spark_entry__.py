@@ -1606,6 +1606,130 @@ FROM tot t LEFT JOIN k USING (doc_id)
 """
 
 
+def q_gopher_ngrams(spark, sf_dir):
+    """Full Gopher Table-A1 n-gram repetition rows (textops
+    top/dup_ngram_char_frac_col, round-5 — closes DIVERGENCES #28's
+    documented omission): top n-gram char fraction for n=2..4, duplicate
+    n-gram char fraction for n=5..10, plus the 9-threshold verdict. The
+    corpus is augmented per doc_id so both signal families fire: %7 adds
+    a repeated 6-word phrase (dup n-grams), %9 a spam run (top
+    n-grams)."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    mt = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.lit(
+                " alpha beta gamma delta epsilon zeta"
+                " alpha beta gamma delta epsilon zeta"
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 9 == 0, F.lit(" spam spam spam spam spam")).otherwise(
+            F.lit("")
+        ),
+    )
+    cols = textops.ngram_repetition_cols(mt)
+    # materialize each heavy signal ONCE, then round/threshold the column
+    # REFERENCES — inlining them twice (round + verdict) hands Catalyst a
+    # double-size lambda forest and minutes of single-core analysis
+    raw = docs.select(
+        did.cast("long").alias("doc_id"),
+        *[c.alias(k) for k, c in cols.items()],
+    )
+    ngram_pass = F.lit(True)
+    for n, mx in textops.GOPHER_TOP_NGRAM_MAX.items():
+        ngram_pass = ngram_pass & (F.col(f"top{n}_frac") <= F.lit(mx))
+    for n, mx in textops.GOPHER_DUP_NGRAM_MAX.items():
+        ngram_pass = ngram_pass & (F.col(f"dup{n}_frac") <= F.lit(mx))
+    return raw.select(
+        "doc_id",
+        *[F.round(F.col(k), 4).alias(k) for k in cols],
+        ngram_pass.alias("ngram_pass"),
+    )
+
+
+_GOPHER_NGRAMS_SQL = """
+WITH m AS (
+  SELECT doc_id,
+    text
+    || (CASE WHEN doc_id % 7 = 0
+        THEN ' alpha beta gamma delta epsilon zeta'
+          || ' alpha beta gamma delta epsilon zeta' ELSE '' END)
+    || (CASE WHEN doc_id % 9 = 0
+        THEN ' spam spam spam spam spam' ELSE '' END) AS mt
+  FROM documents
+), w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(mt), '\\s+'), x -> x <> '') AS ws
+  FROM m
+), tot AS (
+  SELECT doc_id, ws, len(ws) AS nw,
+    coalesce(list_aggregate(list_transform(ws, x -> length(x)), 'sum'), 0)
+      AS total
+  FROM w
+), g AS (
+  SELECT doc_id, n.n AS n, total,
+         unnest(range(1, nw - n.n + 2)) AS i, ws
+  FROM tot CROSS JOIN (VALUES (2),(3),(4),(5),(6),(7),(8),(9),(10)) n(n)
+  WHERE nw >= n.n
+), g2 AS (
+  SELECT doc_id, n, i, total,
+         array_to_string(list_slice(ws, i, i + n - 1), chr(31)) AS gram
+  FROM g
+), cnt AS (
+  SELECT doc_id, n, gram, any_value(total) AS total, count(*) AS c
+  FROM g2 GROUP BY doc_id, n, gram
+), top AS (
+  SELECT doc_id, n,
+         max(c * (length(gram) - (n - 1)))::DOUBLE
+           / any_value(total) AS frac
+  FROM cnt WHERE n <= 4 GROUP BY doc_id, n
+), cov AS (
+  SELECT DISTINCT g2.doc_id, g2.n, g2.i + k.k AS pos
+  FROM g2
+  JOIN cnt USING (doc_id, n, gram)
+  CROSS JOIN (VALUES (0),(1),(2),(3),(4),(5),(6),(7),(8),(9)) k(k)
+  WHERE g2.n >= 5 AND cnt.c > 1 AND k.k < g2.n
+), dup AS (
+  SELECT c.doc_id, c.n,
+         sum(length(list_extract(t.ws, c.pos)))::DOUBLE
+           / any_value(t.total) AS frac
+  FROM cov c JOIN tot t USING (doc_id) GROUP BY c.doc_id, c.n
+), pivoted AS (
+  SELECT d.doc_id,
+    coalesce(max(CASE WHEN t.n = 2 THEN t.frac END), 0.0) AS top2_frac,
+    coalesce(max(CASE WHEN t.n = 3 THEN t.frac END), 0.0) AS top3_frac,
+    coalesce(max(CASE WHEN t.n = 4 THEN t.frac END), 0.0) AS top4_frac,
+    coalesce(max(CASE WHEN u.n = 5 THEN u.frac END), 0.0) AS dup5_frac,
+    coalesce(max(CASE WHEN u.n = 6 THEN u.frac END), 0.0) AS dup6_frac,
+    coalesce(max(CASE WHEN u.n = 7 THEN u.frac END), 0.0) AS dup7_frac,
+    coalesce(max(CASE WHEN u.n = 8 THEN u.frac END), 0.0) AS dup8_frac,
+    coalesce(max(CASE WHEN u.n = 9 THEN u.frac END), 0.0) AS dup9_frac,
+    coalesce(max(CASE WHEN u.n = 10 THEN u.frac END), 0.0) AS dup10_frac
+  FROM documents d
+  LEFT JOIN top t ON t.doc_id = d.doc_id
+  LEFT JOIN dup u ON u.doc_id = d.doc_id
+  GROUP BY d.doc_id
+)
+SELECT doc_id,
+  round(top2_frac, 4) AS top2_frac,
+  round(top3_frac, 4) AS top3_frac,
+  round(top4_frac, 4) AS top4_frac,
+  round(dup5_frac, 4) AS dup5_frac,
+  round(dup6_frac, 4) AS dup6_frac,
+  round(dup7_frac, 4) AS dup7_frac,
+  round(dup8_frac, 4) AS dup8_frac,
+  round(dup9_frac, 4) AS dup9_frac,
+  round(dup10_frac, 4) AS dup10_frac,
+  (top2_frac <= 0.20 AND top3_frac <= 0.18 AND top4_frac <= 0.16
+   AND dup5_frac <= 0.15 AND dup6_frac <= 0.14 AND dup7_frac <= 0.13
+   AND dup8_frac <= 0.12 AND dup9_frac <= 0.11 AND dup10_frac <= 0.10)
+    AS ngram_pass
+FROM pivoted
+"""
+
+
 _SAMPLE_RATES = {"src0": 0.0, "src1": 0.2, "src2": 0.5, "src3": 0.8}
 _SAMPLE_SALT = "s1"
 
@@ -2565,6 +2689,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "paragraph_dedup": q_paragraph_dedup,
         "gopher_filter": q_gopher_filter,
+        "gopher_ngrams": q_gopher_ngrams,
         "stratified_sample": q_stratified_sample,
         "normalize_html": q_normalize_html,
         "page_diff": q_page_diff,
@@ -2621,6 +2746,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _PII_SQL,
         "paragraph_dedup": _PARAGRAPH_DEDUP_SQL,
         "gopher_filter": _GOPHER_SQL,
+        "gopher_ngrams": _GOPHER_NGRAMS_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
         "normalize_html": _normalize_html_oracle_sql(),
         "page_diff": _page_diff_oracle_sql(),

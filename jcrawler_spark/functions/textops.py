@@ -551,3 +551,227 @@ def gopher_pass_col(text: Column) -> Column:
         & (dup_line_char_frac_col(text) <= r["max_dup_line_char_frac"])
         & (top_bigram_frac_col(text) <= r["max_top_bigram_frac"])
     )
+
+
+# ---------------------------------------------------------------------------
+# full Gopher n-gram repetition table (Rae et al. 2021 Table A1, the rows
+# DIVERGENCES #28 previously documented as omitted) — map-only, no shuffle
+# ---------------------------------------------------------------------------
+#
+# Word n-grams over the lower-cased Java-\s tokens. Char accounting is
+# over WORD characters (separators excluded): total = Σ len(word).
+#
+#   top n-gram fraction  (n=2..4): max over grams of count(g)·charlen(g),
+#     divided by total. The sup form (rather than "chars of THE most
+#     frequent gram") is deterministic under count ties — no arbitrary
+#     pick — and equal to the textbook value whenever the most frequent
+#     gram is unique and longest-weighted.
+#   dup n-gram fraction  (n=5..10): chars at word positions covered by
+#     ANY n-gram occurring ≥2 times, counted once per position (the
+#     paper's "characters contained within all duplicate n-grams"),
+#     divided by total.
+#
+# Gram identity = words joined with \x1f (unit separator) in all three
+# lockstep forms (pure / Column / DuckDB oracle), so a pathological word
+# containing \x1f aliases identically everywhere; charlen(gram) =
+# len(joined) − (n−1).
+
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+_GRAM_SEP = "\x1f"
+
+
+def _rep_words(text: str) -> list[str]:
+    return [w for w in _JAVA_WS.split(text.lower()) if w]
+
+
+def top_ngram_char_frac(text: str, n: int) -> float:
+    words = _rep_words(text)
+    total = sum(len(w) for w in words)
+    if total == 0 or len(words) < n:
+        return 0.0
+    from collections import Counter
+
+    grams = [
+        _GRAM_SEP.join(words[i : i + n]) for i in range(len(words) - n + 1)
+    ]
+    c = Counter(grams)
+    best = max(cnt * (len(g) - (n - 1)) for g, cnt in c.items())
+    return best / total
+
+
+def dup_ngram_char_frac(text: str, n: int) -> float:
+    words = _rep_words(text)
+    total = sum(len(w) for w in words)
+    if total == 0 or len(words) < n:
+        return 0.0
+    from collections import Counter
+
+    grams = [
+        _GRAM_SEP.join(words[i : i + n]) for i in range(len(words) - n + 1)
+    ]
+    c = Counter(grams)
+    covered = [False] * len(words)
+    for i, g in enumerate(grams):
+        if c[g] > 1:
+            for j in range(i, i + n):
+                covered[j] = True
+    dup = sum(len(w) for w, cov in zip(words, covered) if cov)
+    return dup / total
+
+
+def gopher_full_pass(text: str) -> bool:
+    """`gopher_pass` plus the full n-gram repetition table."""
+    if not gopher_pass(text):
+        return False
+    for n, mx in GOPHER_TOP_NGRAM_MAX.items():
+        if top_ngram_char_frac(text, n) > mx:
+            return False
+    for n, mx in GOPHER_DUP_NGRAM_MAX.items():
+        if dup_ngram_char_frac(text, n) > mx:
+            return False
+    return True
+
+
+def _rep_words_col(text: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(text), r"\s+"), lambda w: w != F.lit("")
+    )
+
+
+def _grams_col(words: Column, n: int) -> Column:
+    """Array of \\x1f-joined word n-grams (empty when fewer than n words).
+
+    Built as a chain of n−1 zip_withs against shifted slices — the
+    elements only ever enter through BOUND lambda variables. Referencing
+    `words` via element_at INSIDE a lambda body would re-evaluate the
+    whole words subtree per element (higher-order functions are
+    interpreted, no CSE), turning this O(nw·n) construction into
+    O(nw²·|text|) — measured as a multi-minute hang at sf0.01."""
+    g = words
+    for k in range(1, n):
+        nxt = F.slice(
+            words, k + 1, F.greatest(F.size(words) - k, F.lit(0))
+        )
+        g = F.zip_with(
+            g,
+            nxt,
+            lambda a, b: F.when(
+                a.isNull() | b.isNull(), F.lit(None)
+            ).otherwise(F.concat(a, F.lit(_GRAM_SEP), b)),
+        )
+    return F.filter(g, lambda x: x.isNotNull())
+
+
+def _total_word_chars(words: Column) -> Column:
+    return F.aggregate(
+        words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+    )
+
+
+def top_ngram_char_frac_col(text: Column, n: int) -> Column:
+    words = _rep_words_col(text)
+    total = _total_word_chars(words).cast("double")
+    sg = F.array_sort(_grams_col(words, n))
+    # single pass over the sorted grams: close each run as
+    # run·charlen(gram), keep the max (same shape as top_bigram's
+    # sorted-run max, weighted by the gram's word-char length)
+    charlen = lambda g: (F.length(g) - F.lit(n - 1)).cast("long")
+    closed = lambda acc: F.when(
+        acc["prev"].isNull(), F.lit(0).cast("long")
+    ).otherwise(acc["run"].cast("long") * charlen(acc["prev"]))
+    best = F.aggregate(
+        sg,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.when(x.eqNullSafe(acc["prev"]), acc["best"])
+            .otherwise(F.greatest(acc["best"], closed(acc)))
+            .alias("best"),
+        ),
+        lambda acc: F.greatest(acc["best"], closed(acc)),
+    ).cast("double")
+    return F.when(total == 0, F.lit(0.0)).otherwise(best / total)
+
+
+def dup_ngram_char_frac_col(text: Column, n: int) -> Column:
+    words = _rep_words_col(text)
+    nw = F.size(words)
+    total = _total_word_chars(words).cast("double")
+    grams = _grams_col(words, n)
+    ng = F.size(grams)
+    # (gram, index) sorted by gram → neighbour-equality dup flags →
+    # scatter back to gram order by re-sorting on the index
+    gi = F.array_sort(
+        F.zip_with(
+            grams,
+            F.sequence(F.lit(1), F.greatest(ng, F.lit(1))),
+            lambda g, i: F.struct(g.alias("g"), i.alias("i")),
+        )
+    )
+    sorted_g = F.transform(gi, lambda s: s["g"])
+    flags_sorted = _dup_flags(sorted_g)
+    by_pos = F.array_sort(
+        F.zip_with(
+            gi,
+            flags_sorted,
+            lambda s, f: F.struct(s["i"].alias("i"), f.alias("f")),
+        )
+    )
+    gflags = F.transform(by_pos, lambda p: p["f"])
+    # word j (1-based) is covered iff any dup gram i ∈ [j-n+1, j] ∩ [1, ng]
+    # — a DILATION of gflags by n: OR of n front-padded shifted copies,
+    # each an array-level slice (n static references to gflags, never a
+    # per-position slice inside a lambda — see _grams_col's note)
+    covered = None
+    post = F.array_repeat(F.lit(False), F.lit(n))
+    for k in range(n):
+        parts = (
+            [gflags, post]
+            if k == 0
+            else [F.array_repeat(F.lit(False), F.lit(k)), gflags, post]
+        )
+        sh = F.slice(F.concat(*parts), 1, F.greatest(nw, F.lit(1)))
+        covered = (
+            sh
+            if covered is None
+            else F.zip_with(covered, sh, lambda a, b: a | b)
+        )
+    dup_chars = F.aggregate(
+        F.zip_with(
+            words,
+            covered,
+            lambda w, c: F.when(c, F.length(w)).otherwise(F.lit(0)),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    ).cast("double")
+    return F.when((total == 0) | (nw < n), F.lit(0.0)).otherwise(
+        dup_chars / total
+    )
+
+
+def ngram_repetition_cols(text: Column) -> dict[str, Column]:
+    """The nine Table-A1 n-gram signals as named Columns."""
+    out: dict[str, Column] = {}
+    for n in GOPHER_TOP_NGRAM_MAX:
+        out[f"top{n}_frac"] = top_ngram_char_frac_col(text, n)
+    for n in GOPHER_DUP_NGRAM_MAX:
+        out[f"dup{n}_frac"] = dup_ngram_char_frac_col(text, n)
+    return out
+
+
+def gopher_full_pass_col(text: Column) -> Column:
+    cond = gopher_pass_col(text)
+    for n, mx in GOPHER_TOP_NGRAM_MAX.items():
+        cond = cond & (top_ngram_char_frac_col(text, n) <= F.lit(mx))
+    for n, mx in GOPHER_DUP_NGRAM_MAX.items():
+        cond = cond & (dup_ngram_char_frac_col(text, n) <= F.lit(mx))
+    return cond

@@ -125,9 +125,14 @@ def build_analyze_parser() -> argparse.ArgumentParser:
     p.add_argument("--min-quality", type=float, default=None,
                    help="drop docs with textops.quality_score below this")
     p.add_argument("--gopher", action="store_true",
-                   help="apply the full Gopher/MassiveWeb rule set "
+                   help="apply the Gopher/MassiveWeb rule set "
                         "(textops.gopher_pass_col: word/line stats + "
-                        "repetition signals, map-only)")
+                        "line/bigram repetition signals, map-only)")
+    p.add_argument("--gopher-full", action="store_true",
+                   help="--gopher plus the full Table-A1 n-gram rows "
+                        "(top 2-4-gram / duplicate 5-10-gram char "
+                        "fractions; map-only, ~30s one-time driver "
+                        "analysis for the 21-signal predicate)")
     p.add_argument("--dedup-paragraphs", action="store_true",
                    help="CCNet-style corpus-wide paragraph dedup: rewrite "
                         "each doc keeping only globally-first paragraphs")
@@ -211,7 +216,9 @@ def analyze_main(argv: list[str], stop_session: bool = True) -> int:
         docs = docs.where(
             textops.quality_score_col(F.col("_text")) >= args.min_quality
         )
-    if args.gopher:
+    if args.gopher_full:
+        docs = docs.where(textops.gopher_full_pass_col(F.col("_text")))
+    elif args.gopher:
         docs = docs.where(textops.gopher_pass_col(F.col("_text")))
     docs = docs.persist()
     counts["after_filters"] = docs.count()

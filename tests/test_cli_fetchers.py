@@ -782,3 +782,50 @@ def test_cli_analyze_sampling_flags(spark, tmp_path, capsys):
     kept = spark.read.parquet(capped)
     assert counts["kept"] == kept.count() > 0
     assert {r["url"] for r in kept.collect()} <= full_urls
+
+
+def test_cli_analyze_gopher_full_flag(spark, tmp_path, capsys):
+    """--gopher-full applies the complete Table-A1 rule set: output is a
+    subset of --gopher's, and every survivor clears the pure full
+    composite."""
+    import main as cli
+    from jcrawler_spark.functions import textops
+
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write_pages(spark, corpus_path, N, H, partitions=4)
+    state = str(tmp_path / "state")
+    rc = cli.main(
+        [
+            corpus.url_of(0, H),
+            *[x for i in range(H) for x in ("--accept", f"host{i}.example")],
+            "--corpus", corpus_path, "--state", state,
+            "--maxDocs", "30", "--maxConnections", "0",
+            "--max-supersteps", "6",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    base = str(tmp_path / "g")
+    rc = cli.main(
+        ["analyze", "--state", state, "--corpus", corpus_path,
+         "--out", base, "--no-dedup", "--gopher"],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    base_urls = {r["url"] for r in spark.read.parquet(base).collect()}
+
+    full = str(tmp_path / "gf")
+    rc = cli.main(
+        ["analyze", "--state", state, "--corpus", corpus_path,
+         "--out", full, "--no-dedup", "--gopher-full"],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rows = spark.read.parquet(full).collect()
+    assert {r["url"] for r in rows} <= base_urls
+    for r in rows:
+        assert textops.gopher_full_pass(r["text"])

@@ -290,3 +290,68 @@ def test_whitespace_parity_adversarial(spark):
                 assert abs(r[f"g_{k}"] - v) < 1e-9, (k, repr(t))
             else:
                 assert r[f"g_{k}"] == v, (k, repr(t))
+
+
+def test_ngram_repetition_cols_match_pure(spark):
+    """Full Gopher Table-A1 n-gram rows (round 5): the nine Column
+    signals mirror the pure twins; the verdict equals the pure
+    composite. The signals are selected two-layer (raw cols, then
+    thresholds over column REFS) — combining all nine heavy lambda
+    trees with the composite in ONE projection list sends Catalyst
+    super-linear (see textops._grams_col's note)."""
+    import pyspark.sql.functions as F
+
+    texts = [
+        "",
+        "one",
+        "spam spam spam ham",
+        "a b c d e a b c d e x",
+        "the quick brown fox jumps over the lazy dog and then the "
+        "quick brown fox jumps again today",
+        "x y " * 40,
+        "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 t",
+        "uniq" + " filler" * 12,
+        "a\tb\na b\xa0c the the the the",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    cols = textops.ngram_repetition_cols(F.col("t"))
+    raw = df.select("i", *[c.alias(k) for k, c in cols.items()])
+    for r in raw.collect():
+        s = texts[r["i"]]
+        for n in textops.GOPHER_TOP_NGRAM_MAX:
+            assert abs(r[f"top{n}_frac"] - textops.top_ngram_char_frac(s, n)) < 1e-9, (n, repr(s))
+        for n in textops.GOPHER_DUP_NGRAM_MAX:
+            assert abs(r[f"dup{n}_frac"] - textops.dup_ngram_char_frac(s, n)) < 1e-9, (n, repr(s))
+    # the composite Column verdict, driven on a small frame of its own
+    small = ["spam spam spam ham", "a b c d e a b c d e x",
+             "the quick brown fox and that have with " * 6]
+    sdf = spark.createDataFrame([(i, t) for i, t in enumerate(small)], "i int, t string")
+    got = {r["i"]: r["fp"] for r in sdf.select(
+        "i", textops.gopher_full_pass_col(F.col("t")).alias("fp")).collect()}
+    for i, s in enumerate(small):
+        assert got[i] == textops.gopher_full_pass(s), repr(s)
+
+
+def test_ngram_repetition_pure_goldens():
+    # top: 'spam spam' occurs 2x, charlen 8, total 15 -> 16/15 (sup form
+    # can exceed 1 under self-overlap; gating unaffected)
+    assert abs(textops.top_ngram_char_frac("spam spam spam ham", 2) - 16 / 15) < 1e-12
+    # dup 5-grams: 'a b c d e' repeats, covering 10 of 11 chars
+    assert abs(textops.dup_ngram_char_frac("a b c d e a b c d e x", 5) - 10 / 11) < 1e-12
+    # below n words -> 0.0
+    assert textops.top_ngram_char_frac("one two", 3) == 0.0
+    assert textops.dup_ngram_char_frac("one two three", 5) == 0.0
+    assert textops.top_ngram_char_frac("", 2) == 0.0
+    # full pass: a genuinely NON-repetitive 60+-word text passes; the old
+    # gopher_pass golden (one sentence repeated x3) correctly FAILS the
+    # n-gram table (dup10 covers nearly every char) while still clearing
+    # the document-level rules — exactly the gap Table A1 closes
+    good = " ".join(f"word{i}" for i in range(60)) + " the and of that have"
+    assert textops.gopher_full_pass(good)
+    repeated = ("the quick brown fox jumps over that lazy dog and we have "
+                "fun with words of many kinds to be sure today " * 3)
+    assert textops.gopher_pass(repeated)
+    assert not textops.gopher_full_pass(repeated)
+    assert not textops.gopher_full_pass(good + " spam spam " * 60)
