@@ -1,0 +1,238 @@
+"""Corpus-wide training-data quality operators — beyond the reference
+(jcrawler stops at crawling; these are the corpus-cleanup passes a
+100 TB LLM-data pipeline runs next, public designs only):
+
+- ``unigram_logprobs`` / ``ccnet_buckets`` — CCNet-style (Wenzek et al.,
+  LREC 2020) language-model quality bucketing, with a corpus-trained
+  *unigram* LM standing in for KenLM (absent in this sandbox): one
+  groupBy trains the LM, one join scores every token, one agg per doc,
+  head/middle/tail split on global terciles.
+- ``contamination_flags`` — benchmark decontamination (GPT-3 appendix C
+  style): flag any document sharing an n-gram with a benchmark set.
+- ``cross_dup_ngram_stats`` — cross-document duplicated-substring rate
+  (the detection half of Lee et al. 2022 "Deduplicating Training Data";
+  word-n-gram granularity instead of suffix arrays): fraction of each
+  document's n-gram starts that occur in more than one document.
+- ``source_stats`` — per-source corpus roll-up (doc counts, token
+  volume, quality, language mix).
+
+Scale notes (the 100 TB answers):
+- The unigram LM is ONE token groupBy (map-side partial agg) + one
+  shuffle join token→count; vocabulary is bounded by distinct tokens,
+  not corpus size. Tercile cutpoints default to Spark's exact
+  ``percentile`` (single-reducer O(n_docs) buffer — fine to ~10^8 docs);
+  pass ``rel_err`` to switch to ``percentile_approx`` beyond that. The
+  cutpoints are a 1-row broadcast either way.
+- Decontamination broadcasts the *benchmark* gram set (test sets are
+  ~10^6 grams), so the corpus side is map-only + one semi-join without
+  a corpus-side shuffle.
+- ``cross_dup_ngram_stats`` keys the corpus-wide groupBy on the gram
+  TEXT, not a hash (same reasoning as ``dedup.dedup_paragraphs``: a
+  60-bit hash key silently merges colliding grams at 10^11-gram scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _words_col(text: Column) -> Column:
+    """Lowercased whitespace tokens, empties dropped (textops convention)."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != "")
+
+
+def _grams_col(text: Column, n: int) -> Column:
+    """Word n-gram strings (space-joined); empty array when < n tokens."""
+    ws = _words_col(text)
+    k = F.size(ws)
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style unigram-LM quality bucketing
+# ---------------------------------------------------------------------------
+
+
+def unigram_logprobs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus-trained
+    unigram LM: ``(id_col, n_tokens, mean_logprob)``.
+
+    Plan: explode tokens (map-only) -> groupBy token (the LM "training";
+    map-side partial agg) -> in-plan total via a 1-row broadcast ->
+    shuffle join tokens->counts -> per-doc agg. No driver collects.
+    Documents with zero tokens get ``n_tokens=0, mean_logprob=NULL``.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(_words_col(F.col(text_col))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = toks.join(vocab, "tok").crossJoin(F.broadcast(total))
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg(F.log(F.col("cnt") / F.col("total"))).alias("mean_logprob"),
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+        F.col("mean_logprob"),
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    rel_err: float | None = None,
+) -> DataFrame:
+    """CCNet head/middle/tail terciles over ``mean_logprob``:
+    ``(id_col, n_tokens, mean_logprob, bucket)`` with bucket 'head'
+    (highest logprob = most in-domain), 'middle', 'tail'; zero-token
+    documents land in 'tail'.
+
+    ``rel_err=None`` uses the exact ``percentile`` aggregate (see module
+    scale note); a float switches to ``percentile_approx(…, 1/rel_err)``.
+    """
+    lp = unigram_logprobs(docs, id_col, text_col)
+    fracs = F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0))
+    if rel_err is None:
+        cuts = lp.agg(F.percentile("mean_logprob", fracs).alias("cuts"))
+    else:
+        cuts = lp.agg(
+            F.percentile_approx(
+                "mean_logprob", fracs, F.lit(int(1.0 / rel_err))
+            ).alias("cuts")
+        )
+    out = lp.crossJoin(F.broadcast(cuts))
+    c1 = F.col("cuts")[0]
+    c2 = F.col("cuts")[1]
+    bucket = (
+        F.when(F.col("mean_logprob").isNull(), F.lit("tail"))
+        .when(F.col("mean_logprob") <= c1, F.lit("tail"))
+        .when(F.col("mean_logprob") <= c2, F.lit("middle"))
+        .otherwise(F.lit("head"))
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("mean_logprob"),
+        bucket.alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def contamination_flags(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Flag documents sharing any word ``n``-gram with the benchmark set:
+    ``(id_col, contaminated:boolean)``.
+
+    The benchmark gram set is distinct-ed then BROADCAST (module scale
+    note); the corpus side is one explode + one broadcast semi-join +
+    one distinct on ids — no corpus-wide shuffle on gram text.
+    """
+    btc = bench_text_col or text_col
+    bench_grams = benchmark.select(
+        F.explode(_grams_col(F.col(btc), n)).alias("g")
+    ).distinct()
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_grams_col(F.col(text_col), n)).alias("g")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .select(id_col)
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("contaminated"), F.lit(False)).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated-substring rate (Lee et al. 2022, detection)
+# ---------------------------------------------------------------------------
+
+
+def cross_dup_ngram_stats(
+    docs: DataFrame,
+    n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id_col, n_grams, dup_frac)`` — dup_frac is the fraction of the
+    document's word-n-gram starts whose gram text occurs in MORE THAN ONE
+    document (cross-document duplication only; intra-doc repeats of a
+    gram unique to the doc do not count — that is gopher's
+    ``dup_ngram_char_frac`` signal, textops.py).
+
+    One explode -> one groupBy on the gram TEXT (module scale note) ->
+    one join back -> per-doc agg. Documents with < n tokens report
+    ``n_grams=0, dup_frac=0.0``.
+    """
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_grams_col(F.col(text_col), n)).alias("g")
+    )
+    spread = doc_grams.groupBy("g").agg(
+        F.count_distinct(F.col(id_col)).alias("n_docs")
+    )
+    per_doc = (
+        doc_grams.join(spread, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.avg((F.col("n_docs") > 1).cast("double")).alias("dup_frac"),
+        )
+    )
+    return docs.select(id_col).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+        F.coalesce(F.col("dup_frac"), F.lit(0.0)).alias("dup_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus roll-up
+# ---------------------------------------------------------------------------
+
+
+def source_stats(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-source roll-up: ``(source, n_docs, total_tokens, avg_quality,
+    en_frac)`` — one map-side-combining groupBy, no joins."""
+    from jcrawler_spark.functions import textops
+
+    text = F.col(text_col)
+    return docs.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(_words_col(text))).alias("total_tokens"),
+        F.round(F.avg(textops.quality_score_col(text)), 4).alias(
+            "avg_quality"
+        ),
+        F.round(
+            F.avg((F.col(lang_col) == "en").cast("double")), 4
+        ).alias("en_frac"),
+    )
