@@ -25,9 +25,9 @@ from pyspark.sql import functions as F
 from media_oracle import MEDIA_SQL as _MEDIA_SQL
 
 from jcrawler_spark import corpus
-from jcrawler_spark.functions import generators, htmlnorm, pagediff, textops, urlops
+from jcrawler_spark.functions import c4, generators, htmlnorm, pagediff, textops, urlops
 from jcrawler_spark.operators import accept as accept_ops
-from jcrawler_spark.operators import dedup, extract, graph, multimodal, similarity
+from jcrawler_spark.operators import dedup, extract, graph, multimodal, quality, similarity
 
 # ---------------------------------------------------------------------------
 # helpers
@@ -1767,6 +1767,315 @@ WHERE ('0x' || substr(md5(doc_id::VARCHAR || '{_SAMPLE_SALT}'), 1, 15))::BIGINT
 """
 
 
+def _c4_multiline_col():
+    """Deterministic C4 test page per doc: 1+doc_id%6 keepable lines, three
+    always-dropped lines, and per-doc-id contamination injections (lorem
+    ipsum %11, code brace %13, banned word %17)."""
+    did = F.col("doc_id")
+    keeps = F.transform(
+        F.sequence(F.lit(1), (F.lit(1) + did % 6).cast("int")),
+        lambda j: F.concat(
+            F.lit("Keep line "),
+            j.cast("string"),
+            F.lit(" of "),
+            F.col("text").substr(j * 10 + 1, F.lit(25)),
+            F.lit(" ok."),
+        ),
+    )
+    return F.concat(
+        F.array_join(keeps, "\n"),
+        F.lit(
+            "\nno terminal punctuation line"
+            "\nEnable javascript to proceed now."
+            "\nTiny."
+        ),
+        F.when(did % 11 == 0, F.lit("\nlorem ipsum dolor sit amet")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 13 == 0, F.lit("\ncode { sample }")).otherwise(F.lit("")),
+        F.when(did % 17 == 0, F.lit("\nthis unsafeword here")).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def q_c4_filter(spark, sf_dir):
+    """C4 cleaning pass (functions/c4.py; Raffel et al. 2020 §2.2): line
+    retention (terminal punctuation, >=3 words, no javascript) + page gate
+    (>=5 sentences, no lorem ipsum / brace / banned token) over synthesized
+    multi-line pages. Map-only Column forms — zero Exchanges."""
+    docs = _t(spark, sf_dir, "documents")
+    mt = _c4_multiline_col()
+    stats = c4.c4_stats_cols(mt)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        stats["c4_kept_lines"].cast("long").alias("kept_lines"),
+        stats["c4_sentences"].cast("long").alias("n_sentences"),
+        stats["c4_pass"].alias("c4_pass"),
+        stats["c4_cleaned"].alias("cleaned"),
+    )
+
+
+_C4_MULTILINE_SQL = """
+array_to_string(list_transform(range(1, (2 + doc_id % 6)::INT),
+    j -> 'Keep line ' || j || ' of ' || substr(text, (j*10+1)::INT, 25)
+         || ' ok.'), chr(10))
+|| chr(10) || 'no terminal punctuation line'
+|| chr(10) || 'Enable javascript to proceed now.'
+|| chr(10) || 'Tiny.'
+|| (CASE WHEN doc_id % 11 = 0
+    THEN chr(10) || 'lorem ipsum dolor sit amet' ELSE '' END)
+|| (CASE WHEN doc_id % 13 = 0
+    THEN chr(10) || 'code { sample }' ELSE '' END)
+|| (CASE WHEN doc_id % 17 = 0
+    THEN chr(10) || 'this unsafeword here' ELSE '' END)
+"""
+
+_C4_FILTER_SQL = f"""
+WITH m AS (
+  SELECT doc_id, {_C4_MULTILINE_SQL} AS mt FROM documents
+), k AS (
+  SELECT doc_id, mt,
+    list_filter(
+      list_transform(string_split(mt, chr(10)), x -> trim(x, ' ')),
+      t -> t <> ''
+        AND list_contains(['.', '!', '?', '"', ''''], right(t, 1))
+        AND len(list_filter(string_split_regex(t, '\\s+'),
+                            w -> w <> '')) >= 3
+        AND NOT contains(lower(t), 'javascript')) AS kept
+  FROM m
+), c AS (
+  SELECT doc_id, mt, kept,
+         array_to_string(kept, chr(10)) AS cleaned FROM k
+)
+SELECT doc_id,
+  len(kept) AS kept_lines,
+  len(regexp_extract_all(cleaned, '[.!?]')) AS n_sentences,
+  (NOT contains(lower(mt), 'lorem ipsum')
+   AND NOT contains(mt, '{{')
+   AND len(list_filter(string_split_regex(lower(mt), '\\s+'),
+           w -> w IN ('unsafeword', 'blockedterm'))) = 0
+   AND len(regexp_extract_all(cleaned, '[.!?]')) >= 5) AS c4_pass,
+  cleaned
+FROM c
+"""
+
+
+def q_ccnet_bucket(spark, sf_dir):
+    """CCNet-style LM quality terciles (operators/quality.py): corpus-
+    trained unigram LM (one token groupBy), per-doc mean token logprob,
+    head/middle/tail split on exact global terciles (1-row broadcast)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    out = quality.ccnet_buckets(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_logprob", 4).alias("mean_logprob"),
+        "bucket",
+    )
+
+
+_CCNET_SQL = """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), t AS (
+  SELECT doc_id, u.tok FROM w, unnest(ws) u(tok)
+), v AS (
+  SELECT tok, count(*) AS cnt FROM t GROUP BY tok
+), tot AS (
+  SELECT sum(cnt)::DOUBLE AS total FROM v
+), pd AS (
+  SELECT doc_id, count(*) AS n_tokens, avg(ln(cnt / total)) AS mlp
+  FROM t JOIN v USING (tok) CROSS JOIN tot GROUP BY doc_id
+), cuts AS (
+  SELECT quantile_cont(mlp, [1.0/3.0, 2.0/3.0]) AS c FROM pd
+)
+SELECT d.doc_id,
+  coalesce(n_tokens, 0) AS n_tokens,
+  round(mlp, 4) AS mean_logprob,
+  (CASE WHEN mlp IS NULL OR mlp <= c[1] THEN 'tail'
+        WHEN mlp <= c[2] THEN 'middle' ELSE 'head' END) AS bucket
+FROM documents d LEFT JOIN pd USING (doc_id) CROSS JOIN cuts
+"""
+
+
+# fixed synthetic benchmark set for the decontamination contract query —
+# distinctive tokens so only the injected overlaps (doc_id % 13) can match
+_BENCH_ROWS = [
+    "qza wsx edc rfv tgb yhn ujm ikl opq azq",
+    "benchb lorq mirv tazo quen velp sorn gatu hilm rodk",
+    "benchc nuvo qeth zolm varn kipt selo wund yarb motx",
+]
+_BENCH_SNIPPET = "qza wsx edc rfv tgb yhn ujm ikl"  # 8 tokens of row 0
+_BENCH_SHORT = "benchb lorq mirv tazo quen"  # 5 tokens: below n=8
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/quality.py, GPT-3 appendix-C
+    style): flag documents sharing any word 8-gram with a broadcast
+    benchmark set. Docs %13 get a full 8-gram injected (flagged); docs
+    %21 get only a 5-token fragment — proving sub-n overlaps alone do
+    NOT flag."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 13 == 0, F.lit(" " + _BENCH_SNIPPET)).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 21 == 0, F.lit(" " + _BENCH_SHORT)).otherwise(F.lit("")),
+    )
+    bench = spark.createDataFrame(
+        [(t,) for t in _BENCH_ROWS], "text string"
+    )
+    flagged = quality.contamination_flags(
+        docs.select(did.cast("long").alias("doc_id"), aug.alias("text")),
+        bench,
+        n=8,
+    )
+    return flagged.select("doc_id", "contaminated")
+
+
+_DECONTAMINATE_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+    text
+    || (CASE WHEN doc_id % 13 = 0 THEN ' {_BENCH_SNIPPET}' ELSE '' END)
+    || (CASE WHEN doc_id % 21 = 0 THEN ' {_BENCH_SHORT}' ELSE '' END) AS mt
+  FROM documents
+), b AS (
+  SELECT unnest(['{_BENCH_ROWS[0]}', '{_BENCH_ROWS[1]}',
+                 '{_BENCH_ROWS[2]}']) AS text
+), bw AS (
+  SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                     x -> x <> '') AS ws
+  FROM b
+), bg AS (
+  SELECT DISTINCT array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+  FROM bw, unnest(range(1, len(ws) - 8 + 2)) t(i) WHERE len(ws) >= 8
+), w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(mt), '\\s+'), x -> x <> '') AS ws
+  FROM m
+), dg AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i, i + 7), ' ') AS g
+  FROM w, unnest(range(1, len(ws) - 8 + 2)) t(i) WHERE len(ws) >= 8
+), hit AS (
+  SELECT DISTINCT doc_id FROM dg JOIN bg USING (g)
+)
+SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+FROM documents d LEFT JOIN hit h USING (doc_id)
+"""
+
+
+_DUPSPAN_PASSAGE = "qq ww ee rr tt yy uu ii oo pp aa ss"  # 12 fixed tokens
+
+
+def q_cross_dup_spans(spark, sf_dir):
+    """Cross-document duplicated-substring rate (operators/quality.py;
+    the detection half of Lee et al. 2022 at word-10-gram granularity):
+    docs %7 share one of three injected passages, so their trailing
+    grams occur in ~24 other docs; everything else is unique."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" dupspan"),
+                (did % 3).cast("string"),
+                F.lit(" " + _DUPSPAN_PASSAGE),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    out = quality.cross_dup_ngram_stats(
+        docs.select(did.cast("long").alias("doc_id"), aug.alias("text")),
+        n=10,
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.round("dup_frac", 4).alias("dup_frac"),
+    )
+
+
+_CROSS_DUP_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+    text || (CASE WHEN doc_id % 7 = 0
+             THEN ' dupspan' || (doc_id % 3) || ' {_DUPSPAN_PASSAGE}'
+             ELSE '' END) AS mt
+  FROM documents
+), w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(mt), '\\s+'), x -> x <> '') AS ws
+  FROM m
+), g AS (
+  SELECT doc_id, array_to_string(list_slice(ws, i, i + 9), ' ') AS gram
+  FROM w, unnest(range(1, len(ws) - 10 + 2)) t(i) WHERE len(ws) >= 10
+), s AS (
+  SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram
+), pd AS (
+  SELECT doc_id, count(*) AS n_grams,
+         avg(CASE WHEN nd > 1 THEN 1.0 ELSE 0.0 END) AS df
+  FROM g JOIN s USING (gram) GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(n_grams, 0) AS n_grams,
+  round(coalesce(df, 0.0), 4) AS dup_frac
+FROM documents d LEFT JOIN pd USING (doc_id)
+"""
+
+
+def q_source_stats(spark, sf_dir):
+    """Per-source corpus roll-up (operators/quality.py): doc count, token
+    volume, mean quality, English share — one map-side-combining groupBy."""
+    return quality.source_stats(_t(spark, sf_dir, "documents")).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        "avg_quality",
+        "en_frac",
+    )
+
+
+_SOURCE_STATS_SQL = f"""
+WITH q AS (
+  SELECT source, lang,
+    len(list_filter(string_split_regex(lower(text), '\\s+'),
+                    x -> x <> '')) AS ntok,
+    (CASE WHEN n = 0 THEN 0.0 ELSE
+      (least(n / 500.0, 1.0)
+       + alpha / n
+       + (CASE WHEN nw = 0 THEN 0.0
+               ELSE least(hits / (nw / 10.0), 1.0) END)) / 3.0 END) AS q
+  FROM (
+    SELECT source, lang, text,
+      length(text)::DOUBLE AS n,
+      length(regexp_replace(text, '[^A-Za-zăâîșțĂÂÎȘȚ]', '', 'g'))::DOUBLE
+        AS alpha,
+      len(string_split_regex(lower(text), '\\s+'))::DOUBLE AS nw,
+      (len(list_filter(string_split_regex(lower(text), '\\s+'),
+           w -> list_contains({_EN}, w)))
+       + len(list_filter(string_split_regex(lower(text), '\\s+'),
+           w -> list_contains({_RO}, w))))::DOUBLE AS hits
+    FROM documents
+  )
+)
+SELECT source,
+  count(*) AS n_docs,
+  sum(ntok)::BIGINT AS total_tokens,
+  round(avg(q), 4) AS avg_quality,
+  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 4) AS en_frac
+FROM q GROUP BY source
+"""
+
+
 def q_gopher_filter(spark, sf_dir):
     """Gopher/MassiveWeb quality filter (Rae et al. 2021 Appendix A) —
     the seven document-level signals plus the composite pass verdict
@@ -2691,6 +3000,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_filter": q_gopher_filter,
         "gopher_ngrams": q_gopher_ngrams,
         "stratified_sample": q_stratified_sample,
+        "c4_filter": q_c4_filter,
+        "ccnet_bucket": q_ccnet_bucket,
+        "decontaminate": q_decontaminate,
+        "cross_dup_spans": q_cross_dup_spans,
+        "source_stats": q_source_stats,
         "normalize_html": q_normalize_html,
         "page_diff": q_page_diff,
         "seed_search": q_seed_search,
@@ -2748,6 +3062,11 @@ def oracle_sql() -> dict[str, str]:
         "gopher_filter": _GOPHER_SQL,
         "gopher_ngrams": _GOPHER_NGRAMS_SQL,
         "stratified_sample": _STRATIFIED_SAMPLE_SQL,
+        "c4_filter": _C4_FILTER_SQL,
+        "ccnet_bucket": _CCNET_SQL,
+        "decontaminate": _DECONTAMINATE_SQL,
+        "cross_dup_spans": _CROSS_DUP_SQL,
+        "source_stats": _SOURCE_STATS_SQL,
         "normalize_html": _normalize_html_oracle_sql(),
         "page_diff": _page_diff_oracle_sql(),
         "seed_search": _SEED_SEARCH_SQL,
