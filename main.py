@@ -138,6 +138,25 @@ def build_analyze_parser() -> argparse.ArgumentParser:
                         "each doc keeping only globally-first paragraphs")
     p.add_argument("--scrub-pii", action="store_true",
                    help="redact emails/phone numbers in the output text")
+    p.add_argument("--c4", action="store_true",
+                   help="C4 cleaning (Raffel et al. 2020 §2.2): page gate "
+                        "(>=5 sentences, no lorem ipsum/brace/banned word) "
+                        "then keep only the filtered lines")
+    p.add_argument("--ccnet-buckets", default=None, metavar="B,B",
+                   help="comma-set of head,middle,tail — CCNet-style "
+                        "unigram-LM tercile bucketing over the surviving "
+                        "docs, keeping only the named buckets")
+    p.add_argument("--decontaminate", default=None, metavar="PARQUET",
+                   help="parquet of benchmark rows (text column); drop docs "
+                        "sharing any word n-gram with it")
+    p.add_argument("--contam-ngram", type=int, default=8, metavar="N",
+                   help="n-gram size for --decontaminate (default 8)")
+    p.add_argument("--max-cross-dup", type=float, default=None, metavar="R",
+                   help="drop docs whose cross-document duplicated "
+                        "word-10-gram fraction exceeds R")
+    p.add_argument("--export-host-stats", default=None, metavar="PARQUET",
+                   help="write a per-host roll-up (n_docs, total_tokens, "
+                        "avg_quality, en_frac) of the kept corpus")
     p.add_argument("--lang", default=None,
                    help="comma-separated lang_id whitelist (e.g. en,ro)")
     p.add_argument("--cap-per-lang", type=int, default=None, metavar="N",
@@ -220,8 +239,32 @@ def analyze_main(argv: list[str], stop_session: bool = True) -> int:
         docs = docs.where(textops.gopher_full_pass_col(F.col("_text")))
     elif args.gopher:
         docs = docs.where(textops.gopher_pass_col(F.col("_text")))
+    if args.c4:
+        from jcrawler_spark.functions import c4 as c4_fns
+
+        # gate on the raw page, then keep only the C4-clean lines
+        docs = docs.where(
+            c4_fns.c4_page_pass_col(F.col("_text"))
+        ).withColumn("_text", c4_fns.c4_clean_col(F.col("_text")))
     docs = docs.persist()
     counts["after_filters"] = docs.count()
+
+    if args.ccnet_buckets:
+        from jcrawler_spark.operators import quality as quality_ops
+
+        wanted = {b.strip() for b in args.ccnet_buckets.split(",") if b.strip()}
+        bad = wanted - {"head", "middle", "tail"}
+        if bad:
+            print(f"error: unknown ccnet bucket(s) {sorted(bad)}",
+                  file=sys.stderr)
+            return 2
+        buckets = quality_ops.ccnet_buckets(
+            docs, id_col="doc_id", text_col="_text"
+        )
+        docs = docs.join(
+            buckets.where(F.col("bucket").isin(*wanted)).select("doc_id"),
+            "doc_id", "left_semi",
+        )
 
     if not args.no_dedup:
         groups = dedup_ops.duplicate_groups(docs, text_col="_text",
@@ -239,6 +282,28 @@ def analyze_main(argv: list[str], stop_session: bool = True) -> int:
     if args.scrub_pii:
         kept = kept.withColumn(
             "_text", textops.pii_scrub_col(F.col("_text"))
+        )
+    if args.decontaminate:
+        from jcrawler_spark.operators import quality as quality_ops
+
+        bench = spark.read.parquet(args.decontaminate)
+        flags = quality_ops.contamination_flags(
+            kept, bench, n=args.contam_ngram, id_col="url",
+            text_col="_text", bench_text_col="text",
+        )
+        kept = kept.join(
+            flags.where(~F.col("contaminated")).select("url"),
+            "url", "left_semi",
+        )
+    if args.max_cross_dup is not None:
+        from jcrawler_spark.operators import quality as quality_ops
+
+        cd = quality_ops.cross_dup_ngram_stats(
+            kept, n=10, id_col="url", text_col="_text"
+        )
+        kept = kept.join(
+            cd.where(F.col("dup_frac") <= args.max_cross_dup).select("url"),
+            "url", "left_semi",
         )
     if args.cap_per_lang is not None or args.sample_rate is not None:
         from jcrawler_spark.operators import sampling
@@ -259,6 +324,20 @@ def analyze_main(argv: list[str], stop_session: bool = True) -> int:
     out_df.write.mode("overwrite").parquet(args.out)
     counts["kept"] = spark.read.parquet(args.out).count()
     docs.unpersist()
+
+    if args.export_host_stats:
+        from jcrawler_spark.operators import quality as quality_ops
+
+        final = spark.read.parquet(args.out).select(
+            urlops.host_col(F.col("url")).alias("host"),
+            "text",
+            textops.lang_id_col(F.col("text")).alias("lang"),
+        )
+        hs = quality_ops.source_stats(final, source_col="host")
+        hs.write.mode("overwrite").parquet(args.export_host_stats)
+        counts["host_stats_rows"] = spark.read.parquet(
+            args.export_host_stats
+        ).count()
 
     if args.export_pagerank:
         # memoized link graph → authority scores keyed by url_hash, the

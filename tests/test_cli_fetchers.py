@@ -829,3 +829,122 @@ def test_cli_analyze_gopher_full_flag(spark, tmp_path, capsys):
     assert {r["url"] for r in rows} <= base_urls
     for r in rows:
         assert textops.gopher_full_pass(r["text"])
+
+
+def test_cli_analyze_ccnet_decontaminate_c4_hoststats(spark, tmp_path, capsys):
+    """Round-5 second batch of analyze flags: --ccnet-buckets partitions the
+    corpus into terciles (union of all three == unfiltered set, a single
+    bucket is a proper subset); --decontaminate drops exactly the docs
+    sharing a word 8-gram with the benchmark parquet; --c4 survivors carry
+    only lines satisfying the C4 line rules; --export-host-stats writes the
+    per-host roll-up; --max-cross-dup 1.0 is a no-op."""
+    import main as cli
+    from jcrawler_spark.functions import c4 as c4_fns
+
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write_pages(spark, corpus_path, N, H, partitions=4)
+    state = str(tmp_path / "state")
+    rc = cli.main(
+        [
+            corpus.url_of(0, H),
+            *[x for i in range(H) for x in ("--accept", f"host{i}.example")],
+            "--corpus", corpus_path,
+            "--state", state,
+            "--maxDocs", "40",
+            "--maxConnections", "0",
+            "--max-supersteps", "8",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+
+    full = str(tmp_path / "full")
+    rc = cli.main(
+        ["analyze", "--state", state, "--corpus", corpus_path,
+         "--out", full, "--no-dedup"],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    full_rows = spark.read.parquet(full).collect()
+    full_urls = {r["url"] for r in full_rows}
+    assert len(full_urls) > 3
+
+    # union of the three buckets (+ a no-op cross-dup cap + host stats)
+    allb = str(tmp_path / "allb")
+    hs_path = str(tmp_path / "hs")
+    rc = cli.main(
+        ["analyze", "--state", state, "--corpus", corpus_path,
+         "--out", allb, "--no-dedup",
+         "--ccnet-buckets", "head,middle,tail",
+         "--max-cross-dup", "1.0",
+         "--export-host-stats", hs_path],
+        stop_session=False,
+    )
+    assert rc == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {r["url"] for r in spark.read.parquet(allb).collect()} == full_urls
+    hs = spark.read.parquet(hs_path)
+    assert set(hs.columns) == {
+        "source", "n_docs", "total_tokens", "avg_quality", "en_frac"
+    }
+    assert counts["host_stats_rows"] == hs.count() > 0
+    assert sum(r["n_docs"] for r in hs.collect()) == len(full_urls)
+
+    # a single bucket is a proper, non-empty subset
+    headb = str(tmp_path / "headb")
+    rc = cli.main(
+        ["analyze", "--state", state, "--corpus", corpus_path,
+         "--out", headb, "--no-dedup", "--ccnet-buckets", "head"],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    head_urls = {r["url"] for r in spark.read.parquet(headb).collect()}
+    assert 0 < len(head_urls) < len(full_urls)
+    assert head_urls < full_urls
+
+    # unknown bucket name is a hard CLI error
+    rc = cli.main(
+        ["analyze", "--state", state, "--corpus", corpus_path,
+         "--out", str(tmp_path / "x"), "--no-dedup",
+         "--ccnet-buckets", "head,bogus"],
+        stop_session=False,
+    )
+    assert rc == 2
+    capsys.readouterr()
+
+    # decontaminate against one crawled doc's text: that doc must drop
+    victim = max(full_rows, key=lambda r: len(r["text"].split()))
+    assert len(victim["text"].split()) >= 8
+    bench_path = str(tmp_path / "bench")
+    spark.createDataFrame(
+        [(victim["text"],)], "text string"
+    ).write.parquet(bench_path)
+    decon = str(tmp_path / "decon")
+    rc = cli.main(
+        ["analyze", "--state", state, "--corpus", corpus_path,
+         "--out", decon, "--no-dedup", "--decontaminate", bench_path],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    decon_urls = {r["url"] for r in spark.read.parquet(decon).collect()}
+    assert victim["url"] not in decon_urls
+    assert decon_urls < full_urls
+    assert len(decon_urls) > 0
+
+    # C4: every surviving line obeys the line rules (gate may keep 0 docs)
+    c4out = str(tmp_path / "c4out")
+    rc = cli.main(
+        ["analyze", "--state", state, "--corpus", corpus_path,
+         "--out", c4out, "--no-dedup", "--c4"],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    for r in spark.read.parquet(c4out).collect():
+        assert r["url"] in full_urls
+        for line in r["text"].split("\n"):
+            assert c4_fns.line_kept(line)
