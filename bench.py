@@ -231,6 +231,11 @@ def main() -> None:
         "pii_scrub",
         "gopher_filter",
         "stratified_sample",
+        "c4_filter",
+        "ccnet_bucket",
+        "decontaminate",
+        "cross_dup_spans",
+        "source_stats",
     )
     for name in op_names:
         fn = entrymod.queries()[name]
