@@ -2032,6 +2032,100 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+_BM25_TERMS = ["table", "scan", "merge", "window"]
+
+
+def q_bm25_search(spark, sf_dir):
+    """Okapi BM25 top-30 over the documents table (operators/search.py):
+    corpus filtered to the query's terms BEFORE any shuffle, |terms|-row
+    df table + 1-row (N, avgdl) stats broadcast back, TakeOrdered top-k."""
+    from jcrawler_spark.operators import search
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    out = search.bm25_topk(docs, _BM25_TERMS, k=30)
+    return out.select("doc_id", F.round("score", 4).alias("score"))
+
+
+_BM25_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), dd AS (
+  SELECT doc_id, len(ws) AS dl, ws FROM d
+), stats AS (
+  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dd
+), tok AS (
+  SELECT doc_id, dl, u.tok FROM dd, unnest(ws) u(tok)
+  WHERE u.tok IN ('{_BM25_TERMS[0]}', '{_BM25_TERMS[1]}',
+                  '{_BM25_TERMS[2]}', '{_BM25_TERMS[3]}')
+), tf AS (
+  SELECT doc_id, dl, tok, count(*) AS tf
+  FROM tok GROUP BY doc_id, dl, tok
+), dfreq AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT doc_id,
+    sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+        * tf * 2.2
+        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN stats GROUP BY doc_id
+)
+SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT doc_id, score FROM scored ORDER BY score DESC, doc_id LIMIT 30
+)
+"""
+
+
+def q_host_graph(spark, sf_dir):
+    """Domain-level link graph (operators/graph.host_graph; the
+    Common-Crawl host-graph dataset shape) over the synthetic K=3 tree +
+    cross-links edges, hosts = doc_id % 37: per host pair, link count +
+    distinct source pages."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    tree = None
+    for j in (1, 2, 3):
+        e = ids.select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") * 3 + j).alias("dst"),
+        ).where(F.col("dst") < n)
+        tree = e if tree is None else tree.unionByName(e)
+    cross = ids.where(F.col("doc_id") % 10 == 3).select(
+        F.col("doc_id").alias("src"), ((F.col("doc_id") * 7) % n).alias("dst")
+    )
+    edges = tree.unionByName(cross).select(
+        "src",
+        F.concat(F.lit("h"), (F.col("src") % 37).cast("string")).alias(
+            "src_host"
+        ),
+        F.concat(F.lit("h"), (F.col("dst") % 37).cast("string")).alias(
+            "dst_host"
+        ),
+    )
+    return graph.host_graph(edges, src_id_col="src")
+
+
+_HOST_GRAPH_SQL = """
+WITH edges AS (
+  SELECT doc_id AS src, doc_id*3 + j AS dst
+  FROM documents, unnest([1,2,3]) t(j)
+  WHERE doc_id*3 + j < (SELECT count(*) FROM documents)
+  UNION ALL
+  SELECT doc_id, (doc_id*7) % (SELECT count(*) FROM documents)
+  FROM documents WHERE doc_id % 10 = 3
+)
+SELECT 'h' || (src % 37) AS src_host,
+       'h' || (dst % 37) AS dst_host,
+       count(*) AS n_links,
+       count(DISTINCT src) AS n_src_pages
+FROM edges GROUP BY 1, 2
+"""
+
+
 def q_source_stats(spark, sf_dir):
     """Per-source corpus roll-up (operators/quality.py): doc count, token
     volume, mean quality, English share — one map-side-combining groupBy."""
@@ -3005,6 +3099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "cross_dup_spans": q_cross_dup_spans,
         "source_stats": q_source_stats,
+        "bm25_search": q_bm25_search,
+        "host_graph": q_host_graph,
         "normalize_html": q_normalize_html,
         "page_diff": q_page_diff,
         "seed_search": q_seed_search,
@@ -3067,6 +3163,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _DECONTAMINATE_SQL,
         "cross_dup_spans": _CROSS_DUP_SQL,
         "source_stats": _SOURCE_STATS_SQL,
+        "bm25_search": _BM25_SQL,
+        "host_graph": _HOST_GRAPH_SQL,
         "normalize_html": _normalize_html_oracle_sql(),
         "page_diff": _page_diff_oracle_sql(),
         "seed_search": _SEED_SEARCH_SQL,

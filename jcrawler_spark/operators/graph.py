@@ -161,3 +161,34 @@ def pagerank(
         e_deg.unpersist()
         deg.unpersist()
     return ranks.select(F.col("id").alias(id_col), "rank")
+
+
+def host_graph(
+    edges: DataFrame,
+    src_host_col: str = "src_host",
+    dst_host_col: str = "dst_host",
+    src_id_col: str | None = None,
+) -> DataFrame:
+    """Domain-level link-graph roll-up (the Common-Crawl host/domain-graph
+    dataset shape, built from url-level edges whose hosts the caller has
+    already derived — e.g. ``urlops.host_col`` over
+    ``link_graph_from_pages`` output):
+    ``(src_host, dst_host, n_links[, n_src_pages])``.
+
+    One map-side-combining groupBy on the (src_host, dst_host) pair — at
+    10^10 edges the host pair cardinality is orders of magnitude smaller
+    than the edge count, so partial aggregation collapses nearly all of
+    the shuffle. ``src_id_col`` adds a distinct-source-page count (a
+    second shuffle for the distinct; leave None to stay one-shuffle).
+    Feed the result's (src_host, dst_host) edges to :func:`pagerank` for
+    host-authority scores."""
+    grouped = edges.groupBy(
+        F.col(src_host_col).alias("src_host"),
+        F.col(dst_host_col).alias("dst_host"),
+    )
+    if src_id_col is None:
+        return grouped.agg(F.count(F.lit(1)).alias("n_links"))
+    return grouped.agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_distinct(F.col(src_id_col)).alias("n_src_pages"),
+    )
