@@ -236,6 +236,8 @@ def main() -> None:
         "decontaminate",
         "cross_dup_spans",
         "source_stats",
+        "bm25_search",
+        "host_graph",
     )
     for name in op_names:
         fn = entrymod.queries()[name]
