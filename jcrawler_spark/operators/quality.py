@@ -102,7 +102,11 @@ def ccnet_buckets(
     ``rel_err=None`` uses the exact ``percentile`` aggregate (see module
     scale note); a float switches to ``percentile_approx(…, 1/rel_err)``.
     """
-    lp = unigram_logprobs(docs, id_col, text_col)
+    # lp feeds BOTH the cutpoint aggregate and the bucket join — a plan
+    # cut materializes the LM-train + scoring pipeline once instead of
+    # twice (16 → ~8 Exchanges, the same eager-localCheckpoint idiom as
+    # graph.pagerank / dedup.connected_components)
+    lp = unigram_logprobs(docs, id_col, text_col).localCheckpoint(eager=True)
     fracs = F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0))
     if rel_err is None:
         cuts = lp.agg(F.percentile("mean_logprob", fracs).alias("cuts"))

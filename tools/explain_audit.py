@@ -83,6 +83,19 @@ def main() -> None:
         ("gopher_filter", 0),
         ("pii_scrub", 0),
         ("paragraph_dedup", 3),
+        # round-5 second batch: c4 is a pure scan-speed gate; source_stats
+        # one groupBy; host_graph groupBy + count_distinct expansion;
+        # ccnet is measured post-localCheckpoint (the LM pipeline runs
+        # once inside the cut); decontaminate's corpus side must stay
+        # broadcast-only; cross_dup pays its designed gram groupBy+join;
+        # bm25's corpus side is term-filtered before its groupBys.
+        ("c4_filter", 0),
+        ("source_stats", 1),
+        ("host_graph", 2),
+        ("ccnet_bucket", 4),
+        ("decontaminate", 4),
+        ("cross_dup_spans", 5),
+        ("bm25_search", 7),
     ):
         plan = plan_of(qs[qname](spark, SF))
         n_ex = len(re.findall(r"Exchange", plan))
