@@ -157,6 +157,10 @@ def build_analyze_parser() -> argparse.ArgumentParser:
     p.add_argument("--export-host-stats", default=None, metavar="PARQUET",
                    help="write a per-host roll-up (n_docs, total_tokens, "
                         "avg_quality, en_frac) of the kept corpus")
+    p.add_argument("--export-host-graph", default=None, metavar="PARQUET",
+                   help="write the domain-level link graph (src_host, "
+                        "dst_host, n_links, n_src_pages) rebuilt from the "
+                        "memoized links column")
     p.add_argument("--lang", default=None,
                    help="comma-separated lang_id whitelist (e.g. en,ro)")
     p.add_argument("--cap-per-lang", type=int, default=None, metavar="N",
@@ -339,6 +343,18 @@ def analyze_main(argv: list[str], stop_session: bool = True) -> int:
             args.export_host_stats
         ).count()
 
+    if args.export_host_graph:
+        edges = graph_ops.link_graph_from_pages(meta).select(
+            F.col("src_url").alias("src"),
+            urlops.host_col(F.col("src_url")).alias("src_host"),
+            urlops.host_col(F.col("dst_url")).alias("dst_host"),
+        )
+        hg = graph_ops.host_graph(edges, src_id_col="src")
+        hg.write.mode("overwrite").parquet(args.export_host_graph)
+        counts["host_graph_rows"] = spark.read.parquet(
+            args.export_host_graph
+        ).count()
+
     if args.export_pagerank:
         # memoized link graph → authority scores keyed by url_hash, the
         # shape engine.set_priority_scores consumes
@@ -367,11 +383,53 @@ def analyze_main(argv: list[str], stop_session: bool = True) -> int:
     return 0
 
 
+def build_search_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="jcrawl-spark search",
+        description="Okapi BM25 keyword search over an analyze-produced "
+                    "corpus parquet (url + text columns)",
+    )
+    p.add_argument("--corpus", required=True,
+                   help="parquet directory with url + text columns")
+    p.add_argument("--terms", required=True,
+                   help="comma-separated query terms")
+    p.add_argument("-k", type=int, default=10, dest="k",
+                   help="number of results (default 10)")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def search_main(argv: list[str], stop_session: bool = True) -> int:
+    """The `search` subcommand: BM25 top-k over a corpus parquet — the
+    "query what you crawled" leg (operators/search.py)."""
+    args = build_search_parser().parse_args(argv)
+    terms = [t.strip().lower() for t in args.terms.split(",") if t.strip()]
+    if not terms:
+        print("error: --terms needs at least one term", file=sys.stderr)
+        return 2
+    from jcrawler_spark.operators import search as search_ops
+    from jcrawler_spark.session import get_spark
+
+    spark = get_spark(args.master, app_name="jcrawl-search")
+    docs = spark.read.parquet(args.corpus)
+    from pyspark.sql import functions as F
+
+    out = search_ops.bm25_topk(
+        docs, terms, k=args.k, id_col="url", text_col="text"
+    ).select("url", F.round("score", 4).alias("score"))
+    print(json.dumps([r.asDict() for r in out.collect()]))
+    if stop_session:
+        spark.stop()
+    return 0
+
+
 def main(argv: list[str] | None = None, stop_session: bool = True) -> int:
     if argv is None:
         argv = sys.argv[1:]
     if argv and argv[0] == "analyze":
         return analyze_main(argv[1:], stop_session=stop_session)
+    if argv and argv[0] == "search":
+        return search_main(argv[1:], stop_session=stop_session)
     args = build_parser().parse_args(argv)
     if args.cdx_index and not args.export_warc:
         print("error: --cdx-index indexes a fresh archive; it needs "

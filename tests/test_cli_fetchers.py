@@ -948,3 +948,74 @@ def test_cli_analyze_ccnet_decontaminate_c4_hoststats(spark, tmp_path, capsys):
         assert r["url"] in full_urls
         for line in r["text"].split("\n"):
             assert c4_fns.line_kept(line)
+
+
+def test_cli_search_and_host_graph_export(spark, tmp_path, capsys):
+    """`search` subcommand: BM25 top-k over an analyze-style corpus parquet
+    (ranked, k-bounded, term-normalized); analyze --export-host-graph
+    writes the domain-level roll-up rebuilt from memoized links."""
+    import main as cli
+
+    # search over a hand-made corpus: no crawl needed
+    corpus_pq = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            ("https://a.example/1", "spark table scan fast table table"),
+            ("https://a.example/2", "table merge join"),
+            ("https://b.example/3", "nothing relevant here"),
+        ],
+        "url string, text string",
+    ).write.parquet(corpus_pq)
+    rc = cli.main(
+        ["search", "--corpus", corpus_pq, "--terms", "Table,merge", "-k", "2"],
+        stop_session=False,
+    )
+    assert rc == 0
+    hits = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(hits) == 2
+    assert hits[0]["score"] >= hits[1]["score"] > 0
+    assert {h["url"] for h in hits} <= {
+        "https://a.example/1", "https://a.example/2"
+    }
+    # empty terms is a hard error
+    assert cli.main(
+        ["search", "--corpus", corpus_pq, "--terms", " , "],
+        stop_session=False,
+    ) == 2
+    capsys.readouterr()
+
+    # host-graph export off a real crawl state
+    pages_path = str(tmp_path / "pages")
+    corpus.write_pages(spark, pages_path, N, H, partitions=4)
+    state = str(tmp_path / "state")
+    rc = cli.main(
+        [
+            corpus.url_of(0, H),
+            *[x for i in range(H) for x in ("--accept", f"host{i}.example")],
+            "--corpus", pages_path,
+            "--state", state,
+            "--maxDocs", "30",
+            "--maxConnections", "0",
+            "--max-supersteps", "6",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    hg_path = str(tmp_path / "hg")
+    out = str(tmp_path / "flt")
+    rc = cli.main(
+        ["analyze", "--state", state, "--corpus", pages_path,
+         "--out", out, "--no-dedup", "--export-host-graph", hg_path],
+        stop_session=False,
+    )
+    assert rc == 0
+    counts = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    hg = spark.read.parquet(hg_path)
+    assert set(hg.columns) == {
+        "src_host", "dst_host", "n_links", "n_src_pages"
+    }
+    assert counts["host_graph_rows"] == hg.count() > 0
+    for r in hg.collect():
+        assert r["n_links"] >= r["n_src_pages"] >= 1
+        assert r["src_host"].startswith("host")
