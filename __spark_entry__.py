@@ -2032,6 +2032,75 @@ FROM documents d LEFT JOIN pd USING (doc_id)
 """
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """Cross-document duplicated-span REMOVAL (quality.
+    remove_cross_dup_spans; the removal half of Lee et al. 2022,
+    first-occurrence-wins): the globally first occurrence of each
+    repeated word-10-gram span survives, every other covered token is
+    cut. Same %7 injected shared passages as `cross_dup_spans` — the
+    lowest doc_id per variant keeps its passage, the rest lose exactly
+    the injected tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" dupspan"),
+                (did % 3).cast("string"),
+                F.lit(" " + _DUPSPAN_PASSAGE),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return quality.remove_cross_dup_spans(
+        docs.select(did.cast("long").alias("doc_id"), aug.alias("text")),
+        n=10,
+    )
+
+
+_DUP_SPAN_REMOVAL_SQL = f"""
+WITH m AS (
+  SELECT doc_id,
+    text || (CASE WHEN doc_id % 7 = 0
+             THEN ' dupspan' || (doc_id % 3) || ' {_DUPSPAN_PASSAGE}'
+             ELSE '' END) AS mt
+  FROM documents
+), w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(mt, '\\s+'), x -> x <> '') AS ws
+  FROM m
+), occ AS (
+  SELECT doc_id, i, array_to_string(list_slice(ws, i, i + 9), ' ') AS gram
+  FROM w, unnest(range(1, len(ws) - 10 + 2)) t(i) WHERE len(ws) >= 10
+), dup AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i,
+           row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+    FROM occ
+  ) WHERE rn > 1
+), cov AS (
+  SELECT DISTINCT doc_id, u.p FROM dup, unnest(range(i, i + 10)) u(p)
+), tok AS (
+  SELECT doc_id, t.p, ws[t.p] AS tok
+  FROM w, unnest(range(1, len(ws) + 1)) t(p)
+), kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM tok t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.p
+  WHERE c.p IS NULL
+), reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT w.doc_id,
+  coalesce(r.clean_text, '') AS clean_text,
+  len(w.ws)::BIGINT AS n_tokens,
+  (len(w.ws) - coalesce(r.n_kept, 0))::BIGINT AS n_removed
+FROM w LEFT JOIN reb r USING (doc_id)
+"""
+
+
 _BM25_TERMS = ["table", "scan", "merge", "window"]
 
 
@@ -3101,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_stats": q_source_stats,
         "bm25_search": q_bm25_search,
         "host_graph": q_host_graph,
+        "dup_span_removal": q_dup_span_removal,
         "normalize_html": q_normalize_html,
         "page_diff": q_page_diff,
         "seed_search": q_seed_search,
@@ -3165,6 +3235,7 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": _SOURCE_STATS_SQL,
         "bm25_search": _BM25_SQL,
         "host_graph": _HOST_GRAPH_SQL,
+        "dup_span_removal": _DUP_SPAN_REMOVAL_SQL,
         "normalize_html": _normalize_html_oracle_sql(),
         "page_diff": _page_diff_oracle_sql(),
         "seed_search": _SEED_SEARCH_SQL,

@@ -240,3 +240,80 @@ def source_stats(
             F.avg((F.col(lang_col) == "en").cast("double")), 4
         ).alias("en_frac"),
     )
+
+
+def remove_cross_dup_spans(
+    docs: DataFrame,
+    n: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL half of Lee et al. 2022 (first-occurrence-wins, word
+    granularity): ``(id_col, clean_text, n_tokens, n_removed)``.
+
+    A word-``n``-gram occurrence is *duplicate* iff another occurrence of
+    the same gram text sorts before it by (doc id, position); every token
+    position covered by a duplicate occurrence is removed, so exactly one
+    copy of each repeated span survives corpus-wide (the globally first).
+    Tokens are raw whitespace tokens (original case — removal must
+    preserve the surviving text byte-for-byte).
+
+    Plan: gram window on the gram TEXT (the module's no-hash-keys rule) to
+    rank occurrences -> covered-position explode + distinct -> anti-join
+    token positions -> one groupBy rebuild in original order. Four
+    shuffles, all O(tokens) — never O(corpus²).
+    """
+    from pyspark.sql import Window
+
+    raw_ws = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda w: w != ""
+    )
+    base = docs.select(F.col(id_col), raw_ws.alias("ws"))
+    k = F.size(F.col("ws"))
+    grams = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - n + 1),
+            lambda i: F.array_join(F.slice(F.col("ws"), i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = base.select(
+        F.col(id_col), F.posexplode(grams).alias("pos0", "gram")
+    ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
+    w = Window.partitionBy("gram").orderBy(F.col(id_col), F.col("pos"))
+    dup_occ = occ.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") > 1
+    )
+    covered = dup_occ.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+        ).alias("p"),
+    ).distinct()
+    toks = base.select(
+        F.col(id_col), F.posexplode("ws").alias("p0", "tok")
+    ).select(F.col(id_col), (F.col("p0") + 1).alias("p"), "tok")
+    kept = toks.join(covered, [id_col, "p"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    # n_tokens comes from the BASE side: a fully-removed doc is absent
+    # from `rebuilt` but must still report its original token count
+    counts = base.select(
+        F.col(id_col), F.size("ws").cast("long").alias("n_tokens")
+    )
+    return counts.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+        F.col("n_tokens"),
+        (
+            F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
+        ).cast("long").alias("n_removed"),
+    )

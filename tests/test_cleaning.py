@@ -248,3 +248,72 @@ def test_source_stats(spark):
     assert out["s0"]["en_frac"] == 0.8  # 4 of 5
     assert out["s1"]["en_frac"] == 0.5
     assert 0.0 <= out["s0"]["avg_quality"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# cross-document duplicated-span REMOVAL (first-occurrence-wins)
+# ---------------------------------------------------------------------------
+
+
+def test_remove_cross_dup_spans_first_occurrence_wins(spark):
+    shared = "s1 s2 s3 s4"  # a full 4-gram shared by docs 0, 1, 2
+    docs = spark.createDataFrame(
+        [
+            (0, f"a0 b0 {shared} c0"),
+            (1, f"{shared} tail1 tail2"),
+            (2, f"x2 {shared}"),
+            (3, "unique words only here"),
+            (4, "tiny doc"),  # < n tokens: untouched
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality.remove_cross_dup_spans(docs, n=4).collect()
+    }
+    # doc 0 owns the first occurrence of every duplicated gram it holds
+    assert out[0]["clean_text"] == f"a0 b0 {shared} c0"
+    assert out[0]["n_removed"] == 0
+    # doc 1: the shared 4-gram at pos 1 is a duplicate -> s1..s4 removed;
+    # grams overlapping tail1/tail2 are unique to doc 1, so tails survive
+    assert out[1]["clean_text"] == "tail1 tail2"
+    assert out[1]["n_removed"] == 4
+    assert out[1]["n_tokens"] == 6
+    # doc 2: only the trailing shared gram is duplicated
+    assert out[2]["clean_text"] == "x2"
+    assert out[2]["n_removed"] == 4
+    # untouched docs
+    assert out[3]["n_removed"] == 0
+    assert out[3]["clean_text"] == "unique words only here"
+    assert out[4]["clean_text"] == "tiny doc"
+    assert out[4]["n_tokens"] == 2
+
+
+def test_remove_cross_dup_spans_full_removal_keeps_counts(spark):
+    # doc 1 is exactly one duplicated 3-gram: everything goes, but the
+    # token accounting must still report the original length
+    docs = spark.createDataFrame(
+        [(0, "p q r trailing"), (1, "p q r")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in quality.remove_cross_dup_spans(docs, n=3).collect()
+    }
+    assert out[1]["clean_text"] == ""
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["n_removed"] == 3
+    assert out[0]["n_removed"] == 0
+
+
+def test_remove_cross_dup_spans_preserves_case_and_intra_doc(spark):
+    # intra-doc repetition of a doc-unique gram: second occurrence IS
+    # removed (it has a prior occurrence — position-ordered within the
+    # doc), matching Lee et al.'s "all but one" globally
+    docs = spark.createDataFrame(
+        [(0, "A B C pad A B C")],
+        "doc_id long, text string",
+    )
+    out = quality.remove_cross_dup_spans(docs, n=3).collect()[0]
+    assert out["clean_text"].startswith("A B C")  # original case kept
+    assert out["n_removed"] == 3
