@@ -238,6 +238,7 @@ def main() -> None:
         "source_stats",
         "bm25_search",
         "host_graph",
+        "dup_span_removal",
     )
     for name in op_names:
         fn = entrymod.queries()[name]

@@ -154,6 +154,10 @@ def build_analyze_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-cross-dup", type=float, default=None, metavar="R",
                    help="drop docs whose cross-document duplicated "
                         "word-10-gram fraction exceeds R")
+    p.add_argument("--remove-dup-spans", action="store_true",
+                   help="cut cross-document duplicated word-10-gram spans "
+                        "from the text, keeping only the globally first "
+                        "occurrence (Lee et al. 2022 semantics)")
     p.add_argument("--export-host-stats", default=None, metavar="PARQUET",
                    help="write a per-host roll-up (n_docs, total_tokens, "
                         "avg_quality, en_frac) of the kept corpus")
@@ -309,6 +313,15 @@ def analyze_main(argv: list[str], stop_session: bool = True) -> int:
             cd.where(F.col("dup_frac") <= args.max_cross_dup).select("url"),
             "url", "left_semi",
         )
+    if args.remove_dup_spans:
+        from jcrawler_spark.operators import quality as quality_ops
+
+        cleaned = quality_ops.remove_cross_dup_spans(
+            kept, n=10, id_col="url", text_col="_text"
+        ).select("url", "clean_text")
+        kept = kept.drop("_text").join(cleaned, "url").withColumn(
+            "_text", F.col("clean_text")
+        ).drop("clean_text")
     if args.cap_per_lang is not None or args.sample_rate is not None:
         from jcrawler_spark.operators import sampling
 

@@ -1019,3 +1019,44 @@ def test_cli_search_and_host_graph_export(spark, tmp_path, capsys):
     for r in hg.collect():
         assert r["n_links"] >= r["n_src_pages"] >= 1
         assert r["src_host"].startswith("host")
+
+
+def test_cli_analyze_remove_dup_spans(spark, tmp_path, capsys):
+    """--remove-dup-spans leaves a corpus with no word-10-gram occurring
+    more than once (the Lee et al. post-condition), while the unfiltered
+    run keeps the synthetic corpus's repeated template spans."""
+    import main as cli
+    from jcrawler_spark.operators import quality as quality_ops
+
+    corpus_path = str(tmp_path / "corpus")
+    corpus.write_pages(spark, corpus_path, N, H, partitions=4)
+    state = str(tmp_path / "state")
+    rc = cli.main(
+        [
+            corpus.url_of(0, H),
+            *[x for i in range(H) for x in ("--accept", f"host{i}.example")],
+            "--corpus", corpus_path,
+            "--state", state,
+            "--maxDocs", "30",
+            "--maxConnections", "0",
+            "--max-supersteps", "6",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    out = str(tmp_path / "cut")
+    rc = cli.main(
+        ["analyze", "--state", state, "--corpus", corpus_path,
+         "--out", out, "--no-dedup", "--remove-dup-spans"],
+        stop_session=False,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    cleaned = spark.read.parquet(out)
+    assert cleaned.count() > 0
+    # post-condition: zero cross-document duplicated 10-gram starts remain
+    post = quality_ops.cross_dup_ngram_stats(
+        cleaned, n=10, id_col="url", text_col="text"
+    )
+    assert post.agg(F.sum(F.col("dup_frac"))).collect()[0][0] == 0.0

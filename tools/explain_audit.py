@@ -95,6 +95,7 @@ def main() -> None:
         ("ccnet_bucket", 4),
         ("decontaminate", 4),
         ("cross_dup_spans", 5),
+        ("dup_span_removal", 5),
         ("bm25_search", 7),
     ):
         plan = plan_of(qs[qname](spark, SF))
