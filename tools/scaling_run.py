@@ -19,7 +19,9 @@ Two workload shapes:
     regime a 10^10-URL frontier actually runs in, where waves are 10^6-10^8
     rows and barrier cost is noise.
 
-Usage: python tools/scaling_run.py [reps=3] > out.jsonl
+Usage: python tools/scaling_run.py [reps=3] [N=2] > out.jsonl
+(N is the lower parallelism level; the upper is 4N — e.g. N=2 runs
+local[2] vs local[8], N=8 runs local[8] vs local[32].)
 """
 
 from __future__ import annotations
@@ -39,9 +41,9 @@ def _burn(n: int) -> int:
     return x
 
 
-def cpu_control() -> dict:
+def cpu_control(levels: tuple[int, int] = (2, 8)) -> dict:
     out = {}
-    for procs in (2, 8):
+    for procs in levels:
         t0 = time.time()
         with mp.Pool(procs) as p:
             p.map(_burn, [6_000_000] * procs)
@@ -77,6 +79,9 @@ def run_bench(cpus: int, seed_all: bool) -> dict:
 
 def main() -> None:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_hi = 4 * n_lo
+    lvl = (n_lo, n_hi)
     if reps < 3:
         # the protocol is min-over-3 on a ±40% host; a 1-2 rep "summary"
         # is exactly the round-3 mistake — refuse to produce one
@@ -86,13 +91,14 @@ def main() -> None:
         )
     controls: list[dict] = []
     results: dict[tuple[str, int], list[dict]] = {}
-    run_bench(8, False)  # warm-up + corpus generation, discarded
+    run_bench(n_hi, False)  # warm-up + corpus generation, discarded
 
-    order = [("multiwave", 2), ("multiwave", 8), ("steadystate", 2), ("steadystate", 8)]
+    order = [("multiwave", n_lo), ("multiwave", n_hi),
+             ("steadystate", n_lo), ("steadystate", n_hi)]
     for r in range(reps):
         for mode, cpus in (order if r % 2 == 0 else order[::-1]):
             time.sleep(15)
-            ctrl = cpu_control()
+            ctrl = cpu_control(lvl)
             controls.append(ctrl)
             res = run_bench(cpus, mode == "steadystate")
             results.setdefault((mode, cpus), []).append(res)
@@ -110,32 +116,35 @@ def main() -> None:
             for k, v in results.items() if k[1] == cpus for x in v
         )
 
-    urls = results[("multiwave", 8)][0]["crawl_urls"]
-    n_links = results[("multiwave", 8)][0]["links_extracted"]
+    urls = results[("multiwave", n_hi)][0]["crawl_urls"]
+    n_links = results[("multiwave", n_hi)][0]["links_extracted"]
     # control ceiling: ideal 4x scaled by the control's observed per-proc
     # slowdown at 8 vs 2 procs (median across all control samples)
-    ratios = sorted(c[8] / c[2] for c in controls)
+    ratios = sorted(c[n_hi] / c[n_lo] for c in controls)
     slow = ratios[len(ratios) // 2]
     ceiling = 4.0 / slow
 
-    summary: dict = {"summary": True, "corpus_pages": results[("multiwave", 8)][0]["corpus_pages"],
-                     "crawl_urls": urls, "control_per_proc_slowdown_8v2": round(slow, 3),
+    summary: dict = {"summary": True, "levels": list(lvl),
+                     "corpus_pages": results[("multiwave", n_hi)][0]["corpus_pages"],
+                     "crawl_urls": urls,
+                     f"control_per_proc_slowdown_{n_hi}v{n_lo}": round(slow, 3),
                      "control_speedup_ceiling": round(ceiling, 2), "modes": {}}
+    klo, khi = f"local{n_lo}", f"local{n_hi}"
     for mode in ("multiwave", "steadystate"):
-        t2, t8 = best_crawl(mode, 2), best_crawl(mode, 8)
+        t2, t8 = best_crawl(mode, n_lo), best_crawl(mode, n_hi)
         sp = t2 / t8
         summary["modes"][mode] = {
-            "crawl_s": {"local2": t2, "local8": t8},
-            "urls_per_sec": {"local2": round(urls / t2, 1), "local8": round(urls / t8, 1)},
-            "speedup_2_to_8": round(sp, 2),
+            "crawl_s": {klo: t2, khi: t8},
+            "urls_per_sec": {klo: round(urls / t2, 1), khi: round(urls / t8, 1)},
+            f"speedup_{n_lo}_to_{n_hi}": round(sp, 2),
             "efficiency_raw": round(sp / 4, 3),
             "efficiency_vs_control": round(sp / ceiling, 3),
         }
-    e2, e8 = best_extract(2), best_extract(8)
+    e2, e8 = best_extract(n_lo), best_extract(n_hi)
     sp = e2 / e8
     summary["extract_bulk"] = {
-        "links_per_sec": {"local2": round(n_links / e2, 1), "local8": round(n_links / e8, 1)},
-        "speedup_2_to_8": round(sp, 2),
+        "links_per_sec": {klo: round(n_links / e2, 1), khi: round(n_links / e8, 1)},
+        f"speedup_{n_lo}_to_{n_hi}": round(sp, 2),
         "efficiency_raw": round(sp / 4, 3),
         "efficiency_vs_control": round(sp / ceiling, 3),
     }
