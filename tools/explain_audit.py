@@ -99,7 +99,12 @@ def main() -> None:
         ("bm25_search", 7),
     ):
         plan = plan_of(qs[qname](spark, SF))
-        n_ex = len(re.findall(r"Exchange", plan))
+        # count physical NODES once: formatted explain prints every node
+        # twice (tree line + "(N) Exchange" detail header) — the raw
+        # substring count double-counts, which mislabeled paragraph_dedup
+        # as 6 when its plan is 3 Exchanges (window-on-para, doc groupBy,
+        # broadcast count join)
+        n_ex = len(re.findall(r"^\(\d+\) (?:Broadcast)?Exchange", plan, re.M))
         summary.append(f"- **{qname}**: exchanges={n_ex} (bound {max_ex})")
         out.append(
             f"## {qname} (round 5)\n\nExchange count: {n_ex} "
