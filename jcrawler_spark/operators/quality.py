@@ -196,15 +196,19 @@ def cross_dup_ngram_stats(
     doc_grams = docs.select(
         F.col(id_col), F.explode(_grams_col(F.col(text_col), n)).alias("g")
     )
+    # "occurs in >1 doc" == min(id) != max(id): min/max partially
+    # aggregate map-side, so a boilerplate mega-gram with 10^9
+    # occurrences collapses per-partition instead of funneling distinct
+    # id sets into one reducer (count_distinct's skew hot-spot)
     spread = doc_grams.groupBy("g").agg(
-        F.count_distinct(F.col(id_col)).alias("n_docs")
+        (F.min(F.col(id_col)) != F.max(F.col(id_col))).alias("multi")
     )
     per_doc = (
         doc_grams.join(spread, "g")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
-            F.avg((F.col("n_docs") > 1).cast("double")).alias("dup_frac"),
+            F.avg(F.col("multi").cast("double")).alias("dup_frac"),
         )
     )
     return docs.select(id_col).join(per_doc, id_col, "left").select(
@@ -258,13 +262,12 @@ def remove_cross_dup_spans(
     Tokens are raw whitespace tokens (original case — removal must
     preserve the surviving text byte-for-byte).
 
-    Plan: gram window on the gram TEXT (the module's no-hash-keys rule) to
-    rank occurrences -> covered-position explode + distinct -> anti-join
-    token positions -> one groupBy rebuild in original order. Four
-    shuffles, all O(tokens) — never O(corpus²).
+    Plan: min-(id,pos) owner aggregate on the gram TEXT (the module's
+    no-hash-keys rule; map-side partial agg, skew-proof on boilerplate
+    mega-grams) -> covered-position explode + distinct -> anti-join token
+    positions -> one groupBy rebuild in original order. All shuffles
+    O(tokens) — never O(corpus²), no per-gram sort.
     """
-    from pyspark.sql import Window
-
     raw_ws = F.filter(
         F.split(F.col(text_col), r"\s+"), lambda w: w != ""
     )
@@ -280,9 +283,15 @@ def remove_cross_dup_spans(
     occ = base.select(
         F.col(id_col), F.posexplode(grams).alias("pos0", "gram")
     ).select(F.col(id_col), (F.col("pos0") + 1).alias("pos"), "gram")
-    w = Window.partitionBy("gram").orderBy(F.col(id_col), F.col("pos"))
-    dup_occ = occ.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") > 1
+    # the owner is min((id, pos)) per gram — a map-side-combining
+    # aggregate, NOT a window sort: a boilerplate mega-gram's 10^9
+    # occurrences collapse to one row per partition before the shuffle,
+    # where row_number-over-gram would sort them all in one task
+    owner = occ.groupBy("gram").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("first_occ")
+    )
+    dup_occ = occ.join(owner, "gram").where(
+        F.struct(F.col(id_col), F.col("pos")) != F.col("first_occ")
     )
     covered = dup_occ.select(
         F.col(id_col),
