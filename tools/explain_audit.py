@@ -94,8 +94,11 @@ def main() -> None:
         ("host_graph", 2),
         ("ccnet_bucket", 4),
         ("decontaminate", 4),
-        ("cross_dup_spans", 5),
-        ("dup_span_removal", 5),
+        # cross-dup pair: the skew-proof min/max + owner-aggregate forms
+        # (one extra Exchange in removal vs the window form — the price
+        # of no per-gram sort task on boilerplate mega-grams)
+        ("cross_dup_spans", 4),
+        ("dup_span_removal", 6),
         ("bm25_search", 7),
     ):
         plan = plan_of(qs[qname](spark, SF))
