@@ -95,7 +95,13 @@ def c4_page_pass(text: str, banned: tuple[str, ...] = BANNED_WORDS) -> bool:
 
 
 def _trimmed_lines_col(text: Column) -> Column:
-    return F.transform(F.split(text, "\n"), F.trim)
+    # the one-arg lambda is load-bearing: F.trim has an optional second
+    # parameter, and transform() passes (element, INDEX) to two-arg
+    # callables — handing F.trim directly makes the array index the
+    # trim-character set (Hypothesis counterexample: '? ? ? ' kept pure,
+    # dropped in the Column form because index "0" left the trailing
+    # space in place)
+    return F.transform(F.split(text, "\n"), lambda x: F.trim(x))
 
 
 def _line_kept_col(t: Column) -> Column:

@@ -317,3 +317,19 @@ def test_remove_cross_dup_spans_preserves_case_and_intra_doc(spark):
     out = quality.remove_cross_dup_spans(docs, n=3).collect()[0]
     assert out["clean_text"].startswith("A B C")  # original case kept
     assert out["n_removed"] == 3
+
+
+def test_c4_trailing_space_golden(spark):
+    """Pinned Hypothesis counterexample: F.trim handed to transform()
+    received (element, index) — index "0" became the trim set and the
+    trailing space survived, dropping a line the pure form keeps."""
+    df = spark.createDataFrame([("? ? ? ",), ("1 a b c. 1",)], "text string")
+    rows = df.select(
+        "text", c4.c4_clean_col(F.col("text")).alias("cleaned")
+    ).collect()
+    for r in rows:
+        assert r["cleaned"] == c4.c4_clean(r["text"])
+    assert rows[0]["cleaned"] == "? ? ?"
+    # digits at line edges must survive trimming (index-as-trimset bug)
+    assert rows[1]["cleaned"] == "1 a b c. 1" if c4.line_kept("1 a b c. 1") \
+        else rows[1]["cleaned"] == ""
