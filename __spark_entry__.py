@@ -2195,6 +2195,36 @@ FROM edges GROUP BY 1, 2
 """
 
 
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head (quality.vocab_topk): top-100 tokens by
+    occurrence with document frequency — two map-side-combining
+    groupBys + TakeOrdered, shuffles bounded by vocab not corpus."""
+    return quality.vocab_topk(
+        _t(spark, sf_dir, "documents"), k=100
+    ).select(
+        "tok",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+_VOCAB_TOPK_SQL = """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+  FROM documents
+), occ AS (
+  SELECT u.tok, count(*) AS n_occurrences
+  FROM w, unnest(ws) u(tok) GROUP BY u.tok
+), pd AS (
+  SELECT u.tok, count(*) AS n_docs
+  FROM w, unnest(list_distinct(ws)) u(tok) GROUP BY u.tok
+)
+SELECT tok, n_occurrences, n_docs FROM occ JOIN pd USING (tok)
+ORDER BY n_occurrences DESC, tok LIMIT 100
+"""
+
+
 def q_source_stats(spark, sf_dir):
     """Per-source corpus roll-up (operators/quality.py): doc count, token
     volume, mean quality, English share — one map-side-combining groupBy."""
@@ -3171,6 +3201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": q_bm25_search,
         "host_graph": q_host_graph,
         "dup_span_removal": q_dup_span_removal,
+        "vocab_topk": q_vocab_topk,
         "normalize_html": q_normalize_html,
         "page_diff": q_page_diff,
         "seed_search": q_seed_search,
@@ -3236,6 +3267,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_search": _BM25_SQL,
         "host_graph": _HOST_GRAPH_SQL,
         "dup_span_removal": _DUP_SPAN_REMOVAL_SQL,
+        "vocab_topk": _VOCAB_TOPK_SQL,
         "normalize_html": _normalize_html_oracle_sql(),
         "page_diff": _page_diff_oracle_sql(),
         "seed_search": _SEED_SEARCH_SQL,

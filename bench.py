@@ -239,6 +239,7 @@ def main() -> None:
         "bm25_search",
         "host_graph",
         "dup_span_removal",
+        "vocab_topk",
     )
     for name in op_names:
         fn = entrymod.queries()[name]

@@ -326,3 +326,29 @@ def remove_cross_dup_spans(
             F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))
         ).cast("long").alias("n_removed"),
     )
+
+
+def vocab_topk(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary head: ``(tok, n_occurrences, n_docs)`` for the
+    ``k`` most frequent whitespace tokens (ties broken by token text) —
+    the tokenizer-training / LM-vocab artifact next to
+    :func:`unigram_logprobs`. Two map-side-combining groupBys (raw
+    occurrences; document frequency over the in-row array_distinct) +
+    a join on the bounded vocab + TakeOrdered top-k — no global sort,
+    every shuffle bounded by distinct-token count, not corpus size."""
+    toks = docs.select(_words_col(F.col(text_col)).alias("ws"))
+    occ = toks.select(F.explode("ws").alias("tok")).groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    per_doc = toks.select(
+        F.explode(F.array_distinct("ws")).alias("tok")
+    ).groupBy("tok").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        occ.join(per_doc, "tok")
+        .orderBy(F.desc("n_occurrences"), F.col("tok"))
+        .limit(k)
+    )

@@ -333,3 +333,18 @@ def test_c4_trailing_space_golden(spark):
     # digits at line edges must survive trimming (index-as-trimset bug)
     assert rows[1]["cleaned"] == "1 a b c. 1" if c4.line_kept("1 a b c. 1") \
         else rows[1]["cleaned"] == ""
+
+
+def test_vocab_topk(spark):
+    docs = spark.createDataFrame(
+        [(0, "a a a b"), (1, "a b c"), (2, "b B")],
+        "doc_id long, text string",
+    )
+    out = quality.vocab_topk(docs, k=2).collect()
+    assert [(r["tok"], r["n_occurrences"], r["n_docs"]) for r in out] == [
+        ("a", 4, 2),
+        ("b", 4, 3),  # lowercased; tie with 'a' broken by token text
+    ]
+    plan = quality.vocab_topk(docs, k=2)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan

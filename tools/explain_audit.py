@@ -100,6 +100,8 @@ def main() -> None:
         ("cross_dup_spans", 4),
         ("dup_span_removal", 6),
         ("bm25_search", 7),
+        # two vocab-bounded groupBys + the vocab join
+        ("vocab_topk", 3),
     ):
         plan = plan_of(qs[qname](spark, SF))
         # count physical NODES once: formatted explain prints every node
